@@ -1,0 +1,589 @@
+"""queries()/oracle_sql() registry — the driver's correctness gate.
+
+Every implemented operator from SURVEY.md §2 gets (a) a Spark callable
+``(spark, sf_dir) -> DataFrame`` exercising the ENGINE path (cell covers,
+Arrow UDF kernels, …) and (b) a plain-SQL DuckDB twin over the driver's
+pre-registered views.  DuckDB has no spatial extension offline
+(SURVEY.md §0.4), so spatial truth uses axis-aligned fixture rectangles
+(PIP = 4 comparisons), explicit haversine SQL, and floor-arithmetic tile
+math; concave/holed/antimeridian polygons are covered by the numpy-oracle
+pytest suite instead (tests/test_spatial_join.py) and their span-corpus
+flagship runs here as a rows-only entry (no oracle — non-flat input).
+
+Float discipline (hash-exact across engines): aggregates over doubles are
+computed on integer cents/micros (exact, order-independent); derived
+ratios use a single final division; geometry predicates compare doubles
+produced by the identical IEEE expression on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+# deterministic synthetic lon/lat derived from event_id — identical integer
+# arithmetic on both engines (events has no coordinates of its own)
+LON_EXPR = "((event_id * 9973) % 36000) / 100.0 - 180.0"
+LAT_EXPR = "((event_id * 7919) % 17000) / 100.0 - 85.0"
+
+#: axis-aligned fixture rectangles (subset of FIXTURES.md P1..P12 that a
+#: plain-SQL oracle can evaluate exactly)
+RECTS = [
+    ("P1", 10.0, 10.0, 20.0, 20.0),
+    ("P2", -60.0, -30.0, -40.0, -10.0),
+    ("P3", 100.0, 40.0, 120.0, 60.0),
+    ("P4", -10.0, -75.0, 30.0, -50.0),
+    ("P10", -150.0, 10.0, -110.0, 50.0),
+    ("P12", 20.0, -45.0, 30.0, -35.0),
+]
+
+DWITHIN_CENTERS = [
+    ("C1", 15.0, 15.0),
+    ("C2", -50.0, -20.0),
+    ("C3", 100.5, 41.0),
+]
+DWITHIN_M = 200_000.0
+
+KNN_CENTERS = [
+    ("K1", 15.0, 15.0),
+    ("K2", -50.0, -20.0),
+    ("K3", 179.5, 0.0),
+]
+KNN_K = 5
+
+ZOOMS = [5, 8, 11]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("lon", F.expr(LON_EXPR))
+        .withColumn("lat", F.expr(LAT_EXPR))
+    )
+
+
+def _rect_rows() -> list[dict]:
+    return [
+        dict(
+            polygon_id=pid,
+            wkt=f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))",
+        )
+        for pid, x0, y0, x1, y1 in RECTS
+    ]
+
+
+def _rects_cte() -> str:
+    vals = ", ".join(f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in RECTS)
+    return f"rects AS (SELECT * FROM (VALUES {vals}) AS t(polygon_id, lon0, lat0, lon1, lat1))"
+
+
+def _pts_cte() -> str:
+    return f"pts AS (SELECT event_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM events)"
+
+
+_HAVERSINE = (
+    "2.0 * 6371008.8 * asin(least(sqrt("
+    "pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians({lon2} - {lon1}) / 2), 2)), 1.0))"
+)
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (engine path: cell cover + Arrow UDF refine)
+# ---------------------------------------------------------------------------
+
+def q_spatial_join_rect_intersects(spark, sf_dir):
+    from .operators import spatial_join as sj
+
+    pts = _event_points(spark, sf_dir)
+    out = sj.spatial_join_broadcast(pts, _rect_rows(), predicate="intersects", id_col="event_id")
+    return out.select("event_id", "polygon_id")
+
+
+def q_spatial_join_rect_contains(spark, sf_dir):
+    from .operators import spatial_join as sj
+
+    pts = _event_points(spark, sf_dir)
+    out = sj.spatial_join_broadcast(pts, _rect_rows(), predicate="contains", id_col="event_id")
+    return out.select("event_id", "polygon_id")
+
+
+def q_st_dwithin_centers(spark, sf_dir):
+    from .operators import spatial_join as sj
+
+    pts = _event_points(spark, sf_dir)
+    centers = [dict(center_id=c, lon=lo, lat=la) for c, lo, la in DWITHIN_CENTERS]
+    out = sj.dwithin_join_broadcast(pts, centers, DWITHIN_M, id_col="event_id")
+    return out.select("event_id", "center_id")
+
+
+def q_tile_pyramid_counts(spark, sf_dir):
+    from .operators import tiling
+
+    pts = _event_points(spark, sf_dir)
+    return tiling.tile_pyramid(pts, ZOOMS).select("zoom", "tile_x", "tile_y", "n")
+
+
+def q_density_grid(spark, sf_dir):
+    from .operators import tiling
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "value_cents", F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    )
+    out = tiling.tile_pyramid(pts, [6], weight="value_cents")
+    return out.select("tile_x", "tile_y", "n", F.col("weight_sum").alias("value_cents"))
+
+
+def q_knn_centers(spark, sf_dir):
+    from .operators import knn as knn_op
+
+    pts = _event_points(spark, sf_dir).select("event_id", "lon", "lat")
+    queries = [dict(query_id=q, lon=lo, lat=la, k=KNN_K) for q, lo, la in KNN_CENTERS]
+    return knn_op.knn_df(pts, queries, res=6, id_col="event_id")
+
+
+def q_flagship_spans_join(spark, sf_dir):
+    """Rows-only (interleaved-span corpus is not a driver view): the
+    flagship documents_spans ⋈ fixture-polygons join, all 12 polygons."""
+    from .operators import spatial_join as sj
+    from .sources import corpus
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    out = sj.spatial_join_documents(docs, corpus.fixture_polygons(), predicate="intersects")
+    return out.select("doc_id", "polygon_id", F.size("spans").alias("n_spans"))
+
+
+# ---------------------------------------------------------------------------
+# temporal / attribute predicates + sampling (FilterHelper analogues)
+# ---------------------------------------------------------------------------
+
+def q_temporal_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= "2024-01-10 00:00:00")
+            & (F.col("ts") < "2024-01-20 00:00:00")
+            & F.col("event_type").isin("click", "view")
+        )
+        .select("event_id", "event_type")
+    )
+
+
+def q_sample_mod(spark, sf_dir):
+    # deterministic 5% "sample" via modular arithmetic (SamplingIterator
+    # analogue with a seedable, engine-portable rule)
+    return _t(spark, sf_dir, "events").filter(F.expr("event_id % 20 = 0")).select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# aggregations (StatsScan / DensityScan / histogram analogues)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .withColumn("price_c", F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .withColumn("disc_bp", F.expr("CAST(ROUND(l_discount * 10000) AS BIGINT)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum("price_c").alias("sum_price_cents"),
+            F.sum("disc_bp").alias("sum_disc_bp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_stats_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("value_cents"),
+    )
+
+
+def q_histogram_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr("CAST(floor(value / 5.0) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .withColumn("price_c", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .rollup("yr", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("price_cents"))
+    )
+
+
+def q_join_customer_orders(spark, sf_dir):
+    """Broadcast dim join (attribute join-index analogue): revenue per
+    nation for BUILDING-segment customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows (TopK / Point2Point analogues)
+# ---------------------------------------------------------------------------
+
+def q_top3_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id")
+    )
+
+
+def q_track_segments(spark, sf_dir):
+    """Point2Point track assembly analogue on the events table: consecutive
+    event pairs per user ordered by time."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_event_id", F.lag("event_id").over(w))
+        .filter(F.col("prev_event_id").isNotNull())
+        .select("user_id", F.col("prev_event_id").alias("a"), F.col("event_id").alias("b"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session; count per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_prefix(spark, sf_dir):
+    """Exact dedup on a normalized 8-token prefix fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "fp", F.md5(F.expr("concat_ws(' ', slice(split(lower(text), ' '), 1, 8))"))
+        )
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within (lang, source) buckets."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("array_distinct(filter(split(lower(text), ' '), x -> length(x) > 0))").alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    uni = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        pairs.withColumn("i", inter)
+        .withColumn("u", uni)
+        .filter(F.col("i") * 100 >= F.col("u") * 80)  # jaccard ≥ 0.8, integer math
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "i", "u")
+    )
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5: query vecs (vec_id < 8) × candidates.
+    Engine path: broadcast queries, JVM-side aggregate/zip_with dot
+    product in double — no Python in the loop."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select("vec_id", "emb")
+    dot = "aggregate(zip_with(qemb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nq = "sqrt(aggregate(zip_with(qemb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    nc = "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    joined = c.join(F.broadcast(q)).withColumn("sim", F.expr(f"{dot} / ({nq} * {nc})"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality flags with integer-exact semantics: token count, char count,
+    long-doc/short-doc flags, stopword-poor flag."""
+    d = _t(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), ' '), x -> length(x) > 0)"
+    stop = f"size(filter({toks}, x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    return d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        (F.length("text") < 200).alias("is_short"),
+        F.expr(f"CAST({stop} AS BIGINT)").alias("n_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "spatial_join_rect_intersects": q_spatial_join_rect_intersects,
+        "spatial_join_rect_contains": q_spatial_join_rect_contains,
+        "st_dwithin_centers": q_st_dwithin_centers,
+        "tile_pyramid_counts": q_tile_pyramid_counts,
+        "density_grid": q_density_grid,
+        "knn_centers": q_knn_centers,
+        "flagship_spans_join": q_flagship_spans_join,
+        "temporal_filter": q_temporal_filter,
+        "sample_mod": q_sample_mod,
+        "q1_pricing": q_q1_pricing,
+        "stats_by_type": q_stats_by_type,
+        "histogram_values": q_histogram_values,
+        "rollup_orders": q_rollup_orders,
+        "join_customer_orders": q_join_customer_orders,
+        "top3_per_user": q_top3_per_user,
+        "track_segments": q_track_segments,
+        "sessionize": q_sessionize,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "text_quality": q_text_quality,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    hav_c = _HAVERSINE.format(lon1="lon", lat1="lat", lon2="clon", lat2="clat")
+    centers_vals = ", ".join(f"('{c}', {lo}, {la})" for c, lo, la in DWITHIN_CENTERS)
+    knn_vals = ", ".join(f"('{q}', {lo}, {la})" for q, lo, la in KNN_CENTERS)
+    tile_cases = " UNION ALL ".join(
+        f"SELECT {z} AS zoom, "
+        f"LEAST(CAST(floor((lon + 180.0) / 360.0 * {1 << z}) AS BIGINT), {(1 << z) - 1}) AS tile_x, "
+        f"LEAST(CAST(floor((lat + 90.0) / 180.0 * {1 << z}) AS BIGINT), {(1 << z) - 1}) AS tile_y "
+        f"FROM pts"
+        for z in ZOOMS
+    )
+    return {
+        "spatial_join_rect_intersects": f"""
+            WITH {_pts_cte()}, {_rects_cte()}
+            SELECT event_id, polygon_id
+            FROM pts JOIN rects
+              ON lon >= lon0 AND lon <= lon1 AND lat >= lat0 AND lat <= lat1
+        """,
+        "spatial_join_rect_contains": f"""
+            WITH {_pts_cte()}, {_rects_cte()}
+            SELECT event_id, polygon_id
+            FROM pts JOIN rects
+              ON lon > lon0 AND lon < lon1 AND lat > lat0 AND lat < lat1
+        """,
+        "st_dwithin_centers": f"""
+            WITH {_pts_cte()},
+            centers AS (SELECT * FROM (VALUES {centers_vals}) AS t(center_id, clon, clat))
+            SELECT event_id, center_id
+            FROM pts JOIN centers ON {hav_c} <= {DWITHIN_M}
+        """,
+        "tile_pyramid_counts": f"""
+            WITH {_pts_cte()}, tiles AS ({tile_cases})
+            SELECT zoom, tile_x, tile_y, count(*) AS n
+            FROM tiles GROUP BY zoom, tile_x, tile_y
+        """,
+        "density_grid": f"""
+            WITH pts AS (
+              SELECT event_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events)
+            SELECT LEAST(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63) AS tile_x,
+                   LEAST(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 63) AS tile_y,
+                   count(*) AS n, SUM(vc) AS value_cents
+            FROM pts GROUP BY 1, 2
+        """,
+        "knn_centers": f"""
+            WITH {_pts_cte()},
+            qs AS (SELECT * FROM (VALUES {knn_vals}) AS t(query_id, clon, clat)),
+            d AS (
+              SELECT query_id, event_id,
+                     {hav_c} AS dist_m
+              FROM pts CROSS JOIN qs),
+            r AS (
+              SELECT query_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist_m ASC, event_id ASC) AS rank
+              FROM d)
+            SELECT query_id, CAST(rank AS INT) AS rank, event_id
+            FROM r WHERE rank <= {KNN_K}
+        """,
+        "temporal_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+              AND event_type IN ('click', 'view')
+        """,
+        "sample_mod": "SELECT event_id FROM events WHERE event_id % 20 = 0",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "stats_by_type": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "histogram_values": """
+            SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "rollup_orders": """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                   o_orderpriority,
+                   count(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS price_cents
+            FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+        """,
+        "join_customer_orders": """
+            SELECT n_name, count(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY n_name
+        """,
+        "top3_per_user": """
+            SELECT user_id, CAST(rank AS INT) AS rank, event_id FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rank
+              FROM events) WHERE rank <= 3
+        """,
+        "track_segments": """
+            SELECT user_id, a, b FROM (
+              SELECT user_id,
+                     LAG(event_id) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS a,
+                     event_id AS b
+              FROM events) WHERE a IS NOT NULL
+        """,
+        "sessionize": """
+            SELECT user_id, SUM(new_sess) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS prev_ts
+                FROM events))
+            GROUP BY user_id
+        """,
+        "dedup_exact_prefix": """
+            SELECT md5(array_to_string(
+                     (string_split(lower(text), ' '))[1:8], ' ')) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_filter(string_split(lower(text), ' '),
+                                               x -> len(x) > 0)) AS toks
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS i,
+                   CAST(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)) AS INT) AS u
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks)) * 100
+                  >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 80
+        """,
+        "ann_topk_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+            c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 8),
+            s AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(qemb, emb)
+                       / (sqrt(list_dot_product(qemb, qemb))
+                          * sqrt(list_dot_product(emb, emb))) AS sim
+              FROM c CROSS JOIN q),
+            r AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM s)
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM r WHERE rank <= 5
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   length(text) < 200 AS is_short,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+                     AS n_stopwords
+            FROM documents
+        """,
+    }

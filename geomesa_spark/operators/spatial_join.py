@@ -1,0 +1,403 @@
+"""Spatial join: cell-cover prefilter + exact vectorized refine.
+
+This is the engine's flagship operator — the Spark-native restatement of
+GeoMesa's two spatial-join paths (public-tree anchors; mount empty at
+survey time, SURVEY.md §0):
+
+- the broadcast predicate "join" (``SQLRules.scala#SpatialOptimizationsRule``
+  folds an ``st_contains``/``st_intersects`` literal into the SFC index
+  scan) → here: polygon covers computed driver-side at a budgeted
+  resolution, broadcast, equi-joined on ``cell`` — Catalyst turns that
+  into a shuffle-free BroadcastHashJoin — then an exact numpy
+  point-in-polygon refine in one Arrow-batched pandas UDF;
+- the grid-partitioned join (``GeoMesaJoinRelation`` + ``RelationUtils``
+  envelope partitioning) → here: both big sides cell-encoded and
+  shuffle-joined on ``cell`` with AQE skew splitting; hot cells are
+  additionally salted (``salt_hot_cells``).
+
+Semantics traps preserved (SURVEY.md §4.4):
+- cover joins emit duplicate candidates (polygon covers many cells; a
+  2-geo-span doc can match twice) → ``dropDuplicates(doc_id, polygon_id)``
+  before any counting;
+- DE-9IM boundary semantics: ``contains`` excludes boundary points,
+  ``intersects``/``covers`` include them;
+- antimeridian polygons are split before covering;
+- the ``spans`` column is carried through untouched (span-sequence
+  invariant) — extraction adds columns, never rebuilds the array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .. import cells
+from ..geo import kernels, wkt
+
+#: default index resolution — 8 → 256×256 world grid (~150 km cells at the
+#: equator).  Chosen like GeoMesa chooses Z2 resolution: coarse enough that
+#: covers stay small, fine enough that the refine stage sees few false
+#: positives.  Large deployments tune per-table (see adaptive split).
+DEFAULT_RES = 8
+
+POINT_WKT_RE = r"^\s*[Pp][Oo][Ii][Nn][Tt]\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$"
+
+
+@dataclass
+class PolygonSet:
+    """Driver-side parsed polygon collection (the broadcast side).
+
+    Antimeridian-crossing polygons are split ONCE here
+    (st_antimeridianSafeGeom analogue) and both the cover and the exact
+    refine operate on the split parts — a point on the ±180° seam is
+    therefore *boundary* (intersects yes, contains no), matching the
+    semantics of JTS over a split multipolygon.
+    """
+
+    ids: list[str]
+    #: polygon_id → list of parts; each part is a list of rings
+    parts: dict[str, list[list[np.ndarray]]] = field(default_factory=dict)
+
+    @classmethod
+    def from_rows(cls, rows: list[dict], id_col: str = "polygon_id", wkt_col: str = "wkt"):
+        ps = cls(ids=[])
+        for r in rows:
+            g = wkt.parse_wkt(r[wkt_col])
+            if g is None or g.kind not in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+                continue
+            ps.ids.append(r[id_col])
+            if g.kind == wkt.WKB_MULTIPOLYGON:
+                polys = [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
+            else:
+                polys = [g]
+            ps.parts[r[id_col]] = [
+                part.rings() for poly in polys for part in wkt.antimeridian_split(poly)
+            ]
+        return ps
+
+    def cover_frame(self, spark, res: int = DEFAULT_RES, max_cells: int = 4096) -> DataFrame:
+        """(polygon_id, cell) cover rows at a single common resolution.
+
+        All polygons are covered at the same resolution (the min of their
+        budgeted resolutions) so one equi-join key works.
+        """
+        covers: dict[str, np.ndarray] = {}
+        res_used = res
+        for pid in self.ids:
+            cs = []
+            r_min = res
+            for rings in self.parts[pid]:
+                c, r = cells.cover_polygon(rings, res, max_cells)
+                if r < r_min:
+                    r_min = r
+                cs.append((c, r))
+            merged = np.unique(
+                np.concatenate([cells.parent(c, r - r_min) if r > r_min else c for c, r in cs])
+            )
+            covers[pid] = (merged, r_min)
+            res_used = min(res_used, r_min)
+        final = {
+            pid: (np.unique(cells.parent(c, r - res_used)) if r > res_used else c)
+            for pid, (c, r) in covers.items()
+        }
+        pdf = pd.DataFrame(
+            {
+                "polygon_id": np.repeat(
+                    np.array(list(final), dtype=object), [len(c) for c in final.values()]
+                ),
+                "cell": np.concatenate(list(final.values())),
+            }
+        ).drop_duplicates()
+        return spark.createDataFrame(pdf), res_used
+
+    def refine_udf(self, predicate: str):
+        """Arrow-batched exact refine: (lon, lat, polygon_id) → bool.
+
+        The 12-fixture-scale polygon dict rides in the closure (re-pickled
+        per task — fine for small dims; for large polygon sets switch to a
+        SparkContext broadcast variable, same kernel).
+        """
+        parts_by_id = self.parts
+        pred = predicate
+
+        @F.pandas_udf("boolean")
+        def refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+            lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+            lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+            out = np.zeros(len(lons), dtype=bool)
+            pids = pid.to_numpy(dtype=object)
+            for p in pd.unique(pids):
+                m = pids == p
+                parts = parts_by_id.get(p)
+                if parts is None:
+                    continue
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                for rings in parts:
+                    cls_ = kernels.point_in_polygon(lons[m], lats[m], rings)
+                    if pred == "contains":  # interior only (DE-9IM T*****FF*)
+                        hit |= cls_ == kernels.PIP_IN
+                    else:  # intersects / covers include the boundary
+                        hit |= cls_ != kernels.PIP_OUT
+                out[m] = hit
+            return pd.Series(out)
+
+        return refine
+
+
+def cell_encode_udf(res: int):
+    """Batched lon/lat → cell id pandas UDF (the Z2SFC replacement)."""
+
+    @F.pandas_udf("long")
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        c = cells.encode(
+            lon.to_numpy(dtype=np.float64, na_value=np.nan),
+            lat.to_numpy(dtype=np.float64, na_value=np.nan),
+            res,
+        )
+        return pd.Series(c)
+
+    return enc
+
+
+def extract_geo_points(docs: DataFrame) -> DataFrame:
+    """documents_spans → one row per geo span with (lon, lat) columns.
+
+    The ``spans`` array is NEVER rebuilt: ``filter``/``transform`` read it,
+    ``posexplode`` of the *derived* WKT array adds rows, and every output
+    row carries the original ``spans`` value (span-sequence invariant).
+    Docs without a geo span drop out (inner explode — "the join must not
+    invent rows"); malformed/EMPTY WKT nulls out and is filtered.
+    Extraction is pure JVM (regexp) — whole-stage-codegen friendly; only
+    cell encoding drops to an Arrow UDF.
+    """
+    g = docs.withColumn(
+        "_geo_wkts", F.expr("transform(filter(spans, s -> s.kind = 'geo'), s -> s.text)")
+    )
+    g = g.select("*", F.posexplode("_geo_wkts").alias("geo_pos", "_geo_wkt")).drop("_geo_wkts")
+    lon = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 1)
+    lat = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 2)
+    g = g.withColumn("lon", F.when(lon != "", lon.cast("double"))).withColumn(
+        "lat", F.when(lat != "", lat.cast("double"))
+    )
+    g = g.filter(
+        F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
+        & (F.col("lon") >= -180.0)
+        & (F.col("lon") <= 180.0)
+        & (F.col("lat") >= -90.0)
+        & (F.col("lat") <= 90.0)
+    ).drop("_geo_wkt")
+    return g
+
+
+def spatial_join_broadcast(
+    points: DataFrame,
+    polygon_rows: list[dict],
+    predicate: str = "intersects",
+    res: int = DEFAULT_RES,
+    loose: bool = False,
+    id_col: str = "doc_id",
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Join point rows (must carry ``lon``/``lat``) against a small polygon
+    set: cover-broadcast equi-join + exact refine + dedupe.
+
+    ``loose=True`` skips the exact refine (GeoMesa's LOOSE_BBOX hint —
+    cover membership is then the answer; false positives allowed).
+    Plan shape: Scan → Arrow UDF (cell) → BroadcastHashJoin(cell) →
+    [Arrow UDF refine] → Exchange(dedupe on ids).  No shuffle before the
+    join; the only shuffle is the final dedupe over *matched* pairs.
+    """
+    spark = points.sparkSession
+    ps = PolygonSet.from_rows(polygon_rows)
+    cover_df, res_used = ps.cover_frame(spark, res, max_cells)
+    pts = points.withColumn("cell", cell_encode_udf(res_used)(F.col("lon"), F.col("lat")))
+    joined = pts.join(F.broadcast(cover_df), "cell", "inner")
+    if not loose:
+        joined = joined.filter(ps.refine_udf(predicate)(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+    return joined.dropDuplicates([id_col, "polygon_id"])
+
+
+def spatial_join_documents(
+    docs: DataFrame,
+    polygon_rows: list[dict],
+    predicate: str = "intersects",
+    res: int = DEFAULT_RES,
+    loose: bool = False,
+) -> DataFrame:
+    """Flagship: documents_spans ⋈ polygons.  Output keeps the untouched
+    ``spans`` array per matched row plus (doc_id, polygon_id)."""
+    return spatial_join_broadcast(
+        extract_geo_points(docs), polygon_rows, predicate, res, loose, id_col="doc_id"
+    )
+
+
+def dwithin_join_broadcast(
+    points: DataFrame,
+    centers: list[dict],
+    dist_m: float,
+    res: int = 9,
+    id_col: str = "doc_id",
+    center_id_col: str = "center_id",
+) -> DataFrame:
+    """st_dwithin(point, center, meters) against a small center set:
+    geodesic-radius cell cover per center (k-ring analogue), broadcast
+    equi-join, exact haversine refine.  Same plan shape as the polygon
+    join — shuffle-free until the final dedupe."""
+    spark = points.sparkSession
+    rows = []
+    res_common = res
+    covers = {}
+    for c in centers:
+        cc, r = cells.cover_point_radius(float(c["lon"]), float(c["lat"]), dist_m, res)
+        covers[c[center_id_col]] = (cc, r)
+        res_common = min(res_common, r)
+    for cid, (cc, r) in covers.items():
+        cc = np.unique(cells.parent(cc, r - res_common)) if r > res_common else cc
+        rows.append(pd.DataFrame({center_id_col: cid, "cell": cc}))
+    cover_pdf = pd.concat(rows, ignore_index=True).drop_duplicates()
+    cover_df = spark.createDataFrame(cover_pdf)
+    lonlat = {c[center_id_col]: (float(c["lon"]), float(c["lat"])) for c in centers}
+
+    @F.pandas_udf("double")
+    def dist_to_center(lon: pd.Series, lat: pd.Series, cid: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        cids = cid.to_numpy(dtype=object)
+        out = np.full(len(lons), np.inf)
+        for p in pd.unique(cids):
+            m = cids == p
+            clon, clat = lonlat[p]
+            out[m] = kernels.haversine_m(lons[m], lats[m], clon, clat)
+        return pd.Series(out)
+
+    pts = points.withColumn("cell", cell_encode_udf(res_common)(F.col("lon"), F.col("lat")))
+    joined = pts.join(F.broadcast(cover_df), "cell", "inner")
+    joined = joined.withColumn(
+        "dist_m", dist_to_center(F.col("lon"), F.col("lat"), F.col(center_id_col))
+    ).filter(F.col("dist_m") <= float(dist_m))
+    return joined.dropDuplicates([id_col, center_id_col])
+
+
+# ---------------------------------------------------------------------------
+# large × large grid join (GeoMesaJoinRelation analogue)
+# ---------------------------------------------------------------------------
+
+def spatial_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = DEFAULT_RES,
+    dist_m: float | None = None,
+    left_id: str = "doc_id",
+    right_id: str = "event_id",
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """Point×point co-location join for two LARGE sides: both cell-encoded
+    at ``res`` and shuffle-joined on the cell id; with ``dist_m`` the left
+    side explodes to the k-ring needed to make the cover complete for that
+    radius, and an exact haversine refine follows.
+
+    Skew: AQE skew-join splitting is on session-wide; additionally, when
+    ``salt_threshold`` is given, cells whose (sampled) row count exceeds it
+    are salted — left rows get a random salt in [0, s), right rows are
+    replicated s× — bounding any single task's partition (north_rule's
+    explicit skew handling; GeoMesa's ShardStrategy byte plays the same
+    role for writes).
+    """
+    lcell = cell_encode_udf(res)
+    l = left.withColumn("cell", lcell(F.col("lon"), F.col("lat")))
+    r = right.withColumn("cell", lcell(F.col("lon"), F.col("lat")))
+
+    if dist_m is not None:
+        # ring radius in cells that guarantees completeness at this res:
+        # worst-case cell height is 180/2^res degrees; lon shrink is handled
+        # by the per-row ring explode in cell space (constant k at the
+        # equatorward edge; conservative +1)
+        cell_deg = 180.0 / (1 << res)
+        k = int(np.ceil(np.degrees(dist_m / kernels.EARTH_RADIUS_M) / cell_deg)) + 1
+
+        @F.pandas_udf("array<long>")
+        def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+            lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+            n = np.int64(1) << np.int64(res)
+            x, y = cells.lonlat_to_xy(lons, lats, res)
+            # per-point lon ring width widens with |lat|
+            coslat = np.maximum(np.cos(np.radians(lats)), 1e-6)
+            kx = np.minimum(np.ceil(k / coslat).astype(np.int64), n // 2)
+            out = []
+            for xi, yi, kxi in zip(x, y, kx):
+                if xi < 0:
+                    out.append([])
+                    continue
+                gx = np.mod(np.arange(xi - kxi, xi + kxi + 1), n)
+                gy = np.arange(max(yi - k, 0), min(yi + k, n - 1) + 1)
+                mx, my = np.meshgrid(gx, gy)
+                out.append(cells.interleave(mx.ravel(), my.ravel()).tolist())
+            return pd.Series(out)
+
+        l = l.withColumn("cell", F.explode(ring_cells(F.col("lon"), F.col("lat"))))
+
+    if salt_threshold is not None:
+        l, r = salt_hot_cells(l, r, salt_threshold)
+        joined = l.join(r.withColumnRenamed("lon", "lon_r").withColumnRenamed("lat", "lat_r"),
+                        ["cell", "salt"], "inner")
+    else:
+        joined = l.join(
+            r.withColumnRenamed("lon", "lon_r").withColumnRenamed("lat", "lat_r"), "cell", "inner"
+        )
+
+    if dist_m is not None:
+        @F.pandas_udf("double")
+        def hav(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+            return pd.Series(
+                kernels.haversine_m(
+                    lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                    lon2.to_numpy(np.float64), lat2.to_numpy(np.float64),
+                )
+            )
+
+        joined = joined.withColumn(
+            "dist_m", hav(F.col("lon"), F.col("lat"), F.col("lon_r"), F.col("lat_r"))
+        ).filter(F.col("dist_m") <= float(dist_m))
+        joined = joined.dropDuplicates([left_id, right_id])
+    return joined
+
+
+def salt_hot_cells(l: DataFrame, r: DataFrame, threshold: int, max_salt: int = 16):
+    """Sample the left side's cell histogram; cells above ``threshold``
+    get ``s = min(ceil(count/threshold), max_salt)`` salts.  Left rows pick
+    ``pmod(hash(id), s)``; right rows replicate s×.  Cold cells keep
+    salt=0 with no replication — the hot-cell table is tiny and broadcast.
+    (The sampled histogram is GeoMesa's Z3Histogram stat reborn as a
+    groupBy; replication mirrors its hot-shard splitting.)"""
+    spark = l.sparkSession
+    hist = (
+        l.sample(0.1, seed=42)
+        .groupBy("cell")
+        .count()
+        .filter(F.col("count") * 10 > threshold)
+        .withColumn(
+            "nsalt",
+            F.least(F.ceil(F.col("count") * 10 / threshold), F.lit(max_salt)).cast("int"),
+        )
+        .drop("count")
+    )
+    l2 = l.join(F.broadcast(hist), "cell", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("nsalt").isNotNull(),
+            F.pmod(F.xxhash64(*[F.col(c) for c in l.columns[:1]]), F.col("nsalt")).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("nsalt")
+    r2 = (
+        r.join(F.broadcast(hist), "cell", "left")
+        .withColumn("nsalt", F.coalesce(F.col("nsalt"), F.lit(1)))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("nsalt") - 1)))
+        .drop("nsalt")
+    )
+    return l2, r2

@@ -1,0 +1,156 @@
+"""End-to-end spatial-join tests against an independent brute-force numpy
+oracle (the pytest analogue of the reference's index-scan/filter fixtures:
+exact matched-ID sets — SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_spark.geo import kernels, wkt
+from geomesa_spark.operators import spatial_join as sj
+from geomesa_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(sf_dir):
+    return pq.read_table(corpus.ensure_documents_spans(sf_dir)).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return corpus.load_documents_spans(spark, sf_dir)
+
+
+def oracle_points(docs_pdf):
+    """All (doc_id, lon, lat) geo points, parsed independently."""
+    rows = []
+    for doc_id, spans in zip(docs_pdf["doc_id"], docs_pdf["spans"]):
+        for s in spans:
+            if s["kind"] == "geo":
+                g = wkt.parse_wkt(s["text"])
+                if g is not None and g.kind == wkt.WKB_POINT:
+                    lon, lat = float(g.coords[0]), float(g.coords[1])
+                    if -180 <= lon <= 180 and -90 <= lat <= 90:
+                        rows.append((doc_id, lon, lat))
+    return pd.DataFrame(rows, columns=["doc_id", "lon", "lat"])
+
+
+def oracle_join(points, predicate):
+    """Brute-force O(n·m) DE-9IM oracle over all fixture polygons,
+    including antimeridian splitting — fully independent of the engine's
+    cover path."""
+    expected = set()
+    for poly in corpus.fixture_polygons():
+        g = wkt.parse_wkt(poly["wkt"])
+        for part in wkt.antimeridian_split(g):
+            cls_ = kernels.point_in_polygon(
+                points["lon"].to_numpy(), points["lat"].to_numpy(), part.rings()
+            )
+            if predicate == "contains":
+                hit = cls_ == kernels.PIP_IN
+            else:
+                hit = cls_ != kernels.PIP_OUT
+            for d in points["doc_id"].to_numpy()[hit]:
+                expected.add((d, poly["polygon_id"]))
+    return expected
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "contains"])
+def test_flagship_join_matches_oracle(spark, docs_df, docs_pdf, predicate):
+    out = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), predicate=predicate)
+    got = {(r["doc_id"], r["polygon_id"]) for r in out.select("doc_id", "polygon_id").collect()}
+    exp = oracle_join(oracle_points(docs_pdf), predicate)
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}"
+    assert len(got) > 0
+
+
+def test_boundary_semantics(spark, docs_df):
+    """doc-00000000's geo point sits exactly on P1's corner vertex:
+    intersects must include it, contains must not (SURVEY.md §4.4)."""
+    inter = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects")
+    cont = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "contains")
+    ipairs = {(r[0], r[1]) for r in inter.select("doc_id", "polygon_id").collect()}
+    cpairs = {(r[0], r[1]) for r in cont.select("doc_id", "polygon_id").collect()}
+    assert ("doc-00000000", "P1") in ipairs
+    assert ("doc-00000000", "P1") not in cpairs
+    # doc-00000007 is strictly inside P1 (hot-cluster center)
+    assert ("doc-00000007", "P1") in cpairs
+
+
+def test_span_invariant_through_join(spark, docs_df, docs_pdf):
+    """Every output row's span sequence (kind, text, media_ref, order) is
+    elementwise equal to the input doc's spans (BASELINE.json input_hint)."""
+    out = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects")
+    got = {r["doc_id"]: r["spans"] for r in out.select("doc_id", "spans").collect()}
+    src = dict(zip(docs_pdf["doc_id"], docs_pdf["spans"]))
+    assert got, "join produced no rows"
+    for doc_id, spans in got.items():
+        orig = src[doc_id]
+        assert len(spans) == len(orig)
+        for s, o in zip(spans, orig):
+            assert (s["kind"], s["text"], s["media_ref"], s["offset"]) == (
+                o["kind"], o["text"], o["media_ref"], int(o["offset"])
+            )
+
+
+def test_loose_mode_is_superset(spark, docs_df):
+    exact = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects")
+    loose = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects", loose=True)
+    e = {(r[0], r[1]) for r in exact.select("doc_id", "polygon_id").collect()}
+    l = {(r[0], r[1]) for r in loose.select("doc_id", "polygon_id").collect()}
+    assert e <= l and len(l) >= len(e)
+
+
+def test_dwithin_matches_oracle(spark, docs_df, docs_pdf):
+    centers = [
+        dict(center_id="C1", lon=15.0, lat=15.0),
+        dict(center_id="C2", lon=-50.0, lat=-20.0),
+        dict(center_id="C3", lon=179.8, lat=0.0),  # antimeridian cover path
+    ]
+    dist = 100_000.0
+    pts = sj.extract_geo_points(docs_df)
+    out = sj.dwithin_join_broadcast(pts, centers, dist)
+    got = {(r[0], r[1]) for r in out.select("doc_id", "center_id").collect()}
+    op = oracle_points(docs_pdf)
+    exp = set()
+    for c in centers:
+        d = kernels.haversine_m(op["lon"].to_numpy(), op["lat"].to_numpy(), c["lon"], c["lat"])
+        for doc in op["doc_id"].to_numpy()[d <= dist]:
+            exp.add((doc, c["center_id"]))
+    assert got == exp and len(got) > 0
+
+
+def test_grid_join_dwithin(spark, docs_df, sf_dir):
+    """Large×large: docs points × events_geo points within 50 km — checked
+    against a brute-force oracle on a filtered subset."""
+    ev = spark.read.parquet(corpus.ensure_events_geo(sf_dir)).limit(500)
+    pts = sj.extract_geo_points(docs_df).select("doc_id", "lon", "lat")
+    out = sj.spatial_join_grid(pts, ev.select("event_id", "lon", "lat"), res=7, dist_m=50_000.0)
+    got = {(r["doc_id"], r["event_id"]) for r in out.select("doc_id", "event_id").collect()}
+
+    ev_pdf = ev.select("event_id", "lon", "lat").toPandas()
+    docs_pts = pts.toPandas()
+    exp = set()
+    d = kernels.haversine_m(
+        docs_pts["lon"].to_numpy()[:, None], docs_pts["lat"].to_numpy()[:, None],
+        ev_pdf["lon"].to_numpy()[None, :], ev_pdf["lat"].to_numpy()[None, :],
+    )
+    ii, jj = np.nonzero(d <= 50_000.0)
+    for i, j in zip(ii, jj):
+        exp.add((docs_pts["doc_id"].iloc[i], ev_pdf["event_id"].iloc[j]))
+    assert got == exp
+
+
+def test_salted_grid_join_same_result(spark, docs_df, sf_dir):
+    ev = spark.read.parquet(corpus.ensure_events_geo(sf_dir)).limit(300)
+    pts = sj.extract_geo_points(docs_df).select("doc_id", "lon", "lat")
+    plain = sj.spatial_join_grid(pts, ev.select("event_id", "lon", "lat"), res=7, dist_m=50_000.0)
+    salted = sj.spatial_join_grid(
+        pts, ev.select("event_id", "lon", "lat"), res=7, dist_m=50_000.0, salt_threshold=50
+    )
+    a = {(r["doc_id"], r["event_id"]) for r in plain.select("doc_id", "event_id").collect()}
+    b = {(r["doc_id"], r["event_id"]) for r in salted.select("doc_id", "event_id").collect()}
+    assert a == b

@@ -1,0 +1,94 @@
+"""Tiling + kNN operator tests vs brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geomesa_spark import cells
+from geomesa_spark.geo import kernels
+from geomesa_spark.operators import knn as knn_op
+from geomesa_spark.operators import spatial_join as sj
+from geomesa_spark.operators import tiling
+from geomesa_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, sf_dir):
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    return sj.extract_geo_points(docs).select("doc_id", "lon", "lat").cache()
+
+
+@pytest.fixture(scope="module")
+def points_pdf(points_df):
+    return points_df.toPandas()
+
+
+def test_assign_tiles_matches_bruteforce(spark, points_df, points_pdf):
+    zooms = [5, 8, 11]
+    out = tiling.assign_tiles(points_df, zooms).select("doc_id", "zoom", "tile_cell").toPandas()
+    got = set(map(tuple, out.itertuples(index=False, name=None)))
+    exp = set()
+    for z in zooms:
+        c = cells.encode(points_pdf["lon"].to_numpy(), points_pdf["lat"].to_numpy(), z)
+        for d, ci in zip(points_pdf["doc_id"], c):
+            if ci >= 0:
+                exp.add((d, z, int(ci)))
+    assert got == exp
+
+
+def test_quadkey_prefix_consistency(spark, points_df):
+    out = tiling.assign_tiles(points_df.limit(200), [5, 11])
+    pdf = out.select("doc_id", "zoom", "quadkey").toPandas()
+    by_doc = {}
+    for _, r in pdf.iterrows():
+        by_doc.setdefault(r["doc_id"], {})[r["zoom"]] = r["quadkey"]
+    count = 0
+    for qk in by_doc.values():
+        if 5 in qk and 11 in qk:
+            assert qk[11].startswith(qk[5])
+            count += 1
+    assert count > 0
+
+
+def test_pyramid_rollup_consistent(spark, points_df):
+    base = tiling.tile_pyramid(points_df, [8])
+    rolled = tiling.rollup_pyramid(base.select("tile_cell", "n"), 8, 5)
+    direct = tiling.tile_pyramid(points_df, [5])
+    r5 = {r["tile_cell"]: r["n"] for r in rolled.filter(F.col("zoom") == 5).collect()}
+    d5 = {r["tile_cell"]: r["n"] for r in direct.collect()}
+    assert r5 == d5
+
+
+def test_rasterize_grid_counts(spark, points_df):
+    out = tiling.rasterize_tiles(points_df, zoom=4, w=8, h=8)
+    pdf = out.toPandas()
+    assert (pdf["grid"].apply(len) == 64).all()
+    total = sum(np.asarray(g).sum() for g in pdf["grid"])
+    assert int(total) == points_df.count()
+
+
+def test_query_tiles_bbox_prunes(spark, points_df):
+    base = tiling.tile_pyramid(points_df, [8]).cache()
+    sub = tiling.query_tiles_bbox(base, 8, 10.0, 10.0, 20.0, 20.0).toPandas()
+    # every returned tile intersects the bbox
+    cs = cells.interleave(sub["tile_x"].to_numpy(), sub["tile_y"].to_numpy())
+    lon0, lat0, lon1, lat1 = cells.cell_bounds(cs, 8)
+    assert ((lon1 >= 10.0) & (lon0 <= 20.0) & (lat1 >= 10.0) & (lat0 <= 20.0)).all()
+    assert 0 < len(sub) < base.count()
+
+
+@pytest.mark.parametrize("res", [5, 7])
+def test_knn_matches_bruteforce(spark, points_df, points_pdf, res):
+    queries = corpus.fixture_knn_queries()[:6]
+    got = knn_op.knn(points_df.withColumnRenamed("doc_id", "event_id"), queries, res=res)
+    lons = points_pdf["lon"].to_numpy()
+    lats = points_pdf["lat"].to_numpy()
+    ids = points_pdf["doc_id"].to_numpy()
+    for q in queries:
+        d = kernels.haversine_m(lons, lats, q["lon"], q["lat"])
+        order = np.lexsort((ids, d))
+        exp_ids = list(ids[order][: q["k"]])
+        sub = got[got["query_id"] == q["query_id"]].sort_values("rank")
+        assert list(sub["event_id"]) == exp_ids, q["query_id"]
+        np.testing.assert_allclose(sub["dist_m"].to_numpy(), np.sort(d)[: q["k"]], rtol=1e-12)
