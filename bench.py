@@ -1,0 +1,123 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf",
+plus informational throughput fields}.
+
+Corpus synthesis (input generation, not engine work) is done before the
+clock starts; each query is forced with a full count()/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from geomesa_spark.session import get_spark
+    from geomesa_spark.sources import corpus
+
+    # input generation outside the clock
+    corpus.ensure_documents_spans(sf_dir)
+    corpus.ensure_events_geo(sf_dir)
+
+    spark = get_spark("geomesa-spark-bench", cores=cpus, shuffle_partitions=cpus)
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ship_package(spark)
+
+    from geomesa_spark import entry_queries
+    from geomesa_spark.operators import knn as knn_op
+    from geomesa_spark.operators import spatial_join as sj
+    from geomesa_spark.operators import tiling
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    n_docs = docs.count()  # warms the file listing too
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn):
+        t0 = time.time()
+        counts[name] = int(fn())
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. flagship: span extraction + cell encode + cover join + PIP refine
+    run(
+        "spatial_join_docs",
+        lambda: sj.spatial_join_documents(docs, corpus.fixture_polygons(), "intersects").count(),
+    )
+
+    # 2. contains variant (strict boundary semantics)
+    run(
+        "spatial_join_contains",
+        lambda: sj.spatial_join_documents(docs, corpus.fixture_polygons(), "contains").count(),
+    )
+
+    # 3. tile pyramid over the span corpus (zooms 5/8/11)
+    pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
+    run("tile_pyramid", lambda: tiling.tile_pyramid(pts, [5, 8, 11]).count())
+
+    # 4. dwithin against hot centers
+    centers = [
+        dict(center_id="C1", lon=15.0, lat=15.0),
+        dict(center_id="C2", lon=-50.0, lat=-20.0),
+        dict(center_id="C3", lon=179.8, lat=0.0),
+    ]
+    run("dwithin_100km", lambda: sj.dwithin_join_broadcast(pts, centers, 100_000.0).count())
+
+    # 5. kNN (10 fixture queries, iterative ring expansion)
+    run(
+        "knn_10q",
+        lambda: len(
+            knn_op.knn(
+                pts.withColumnRenamed("doc_id", "event_id"),
+                corpus.fixture_knn_queries(),
+                res=7,
+            )
+        ),
+    )
+
+    # 6. large×large grid join vs events_geo tracks (50 km co-location)
+    ev = spark.read.parquet(corpus.ensure_events_geo(sf_dir)).select("event_id", "lon", "lat")
+    run(
+        "grid_join_50km",
+        lambda: sj.spatial_join_grid(pts, ev, res=8, dist_m=50_000.0).count(),
+    )
+
+    # 7. generic agg baseline (TPC-H Q1 analogue on driver table)
+    run("q1_pricing", lambda: entry_queries.q_q1_pricing(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["spatial_join_docs"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": corpus.sf_of_dir(sf_dir),
+                "n_docs": n_docs,
+                "counts": counts,
+                "spatial_join_docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,599 @@
+"""SparkSQL ``st_*`` function surface — GeoMesa's public query API.
+
+GeoMesa registers these through its spark-jts module (public tree:
+geomesa-spark-jts/.../udf/GeometricConstructorFunctions.scala,
+GeometricAccessorFunctions.scala, GeometricCastFunctions.scala,
+GeometricOutputFunctions.scala, SpatialRelationFunctions.scala,
+GeometricProcessingFunctions.scala; mount empty at survey time —
+SURVEY.md §0).  Here every function is an Arrow-batched pandas UDF over
+the engine's geometry convention: **WKB bytes in a BinaryType column**
+(no UDT — deliberately pandas-friendly, SURVEY.md §1.1).
+
+Call :func:`register` once per session; after that
+``SELECT st_contains(st_geomFromWKT('POLYGON(...)'), geom)`` works in
+plain ``spark.sql`` — the same SQL strings GeoMesa users write.
+
+Performance tiers:
+- point-only columns take fully vectorized numpy paths (the corpus hot
+  case: 21-byte WKB points);
+- mixed/complex geometries dispatch per geometry inside the Arrow batch
+  through :mod:`geomesa_spark.geo.relate` (JTS-replacement, exactness
+  notes documented there).  Engine operators (joins/tiling/knn) never
+  route through these UDFs — they use the planner + kernels directly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ..geo import geohash, kernels, relate, wkt
+
+_POINT_LEN = 21
+
+
+def _parse_series(s: pd.Series) -> list:
+    return [wkt.wkb_to_geom(b) for b in s.to_numpy(object)]
+
+
+def _all_points(s: pd.Series) -> bool:
+    vals = s.to_numpy(object)
+    return all(b is None or (isinstance(b, (bytes, bytearray)) and len(b) == _POINT_LEN) for b in vals)
+
+
+def _pd(dtype):
+    """Tag a plain function with its Spark return type; the actual
+    pandas_udf is built lazily in :func:`register` / :func:`get_udf`
+    (building it at import time needs a live SparkContext)."""
+
+    def deco(fn):
+        fn._st_dtype = dtype
+        return fn
+
+    return deco
+
+
+# -- constructors -----------------------------------------------------------
+
+@_pd("binary")
+def st_geomFromWKT(s: pd.Series) -> pd.Series:
+    return pd.Series([wkt.geom_to_wkb(wkt.parse_wkt(t)) for t in s.to_numpy(object)], dtype=object)
+
+
+@_pd("binary")
+def st_geomFromWKB(s: pd.Series) -> pd.Series:
+    # validate by round-trip; invalid → null
+    return pd.Series(
+        [b if wkt.wkb_to_geom(b) is not None else None for b in s.to_numpy(object)], dtype=object
+    )
+
+
+@_pd("binary")
+def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return wkt.points_to_wkb_series(
+        lon.to_numpy(np.float64, na_value=np.nan), lat.to_numpy(np.float64, na_value=np.nan)
+    )
+
+
+@_pd("binary")
+def st_makeBBOX(lon0: pd.Series, lat0: pd.Series, lon1: pd.Series, lat1: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d in zip(lon0, lat0, lon1, lat1):
+        if any(pd.isna(v) for v in (a, b, c, d)):
+            out.append(None)
+        else:
+            ring = np.asarray([[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=np.float64)
+            out.append(wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_POLYGON, [ring])))
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_makeLine(pts: pd.Series) -> pd.Series:
+    out = []
+    for arr in pts.to_numpy(object):
+        if arr is None or len(arr) < 2:
+            out.append(None)
+            continue
+        lon, lat = wkt.wkb_points_to_lonlat(pd.Series(list(arr), dtype=object))
+        out.append(
+            wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_LINESTRING, np.stack([lon, lat], axis=1)))
+        )
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_makePolygon(line: pd.Series) -> pd.Series:
+    out = []
+    for b in line.to_numpy(object):
+        g = wkt.wkb_to_geom(b)
+        if g is None or g.kind != wkt.WKB_LINESTRING or len(g.coords) < 4:
+            out.append(None)
+        else:
+            out.append(wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_POLYGON, [g.coords])))
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_geomFromGeoHash(s: pd.Series) -> pd.Series:
+    out = []
+    for gh in s.to_numpy(object):
+        if not gh:
+            out.append(None)
+            continue
+        lon0, lat0, lon1, lat1 = geohash.decode_bounds(gh)
+        ring = np.asarray(
+            [[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]
+        )
+        out.append(wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_POLYGON, [ring])))
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_pointFromGeoHash(s: pd.Series) -> pd.Series:
+    out = []
+    for gh in s.to_numpy(object):
+        if not gh:
+            out.append(None)
+            continue
+        lon, lat = geohash.decode_center(gh)
+        out.append(wkt.point_to_wkb(lon, lat))
+    return pd.Series(out, dtype=object)
+
+
+# -- outputs ----------------------------------------------------------------
+
+@_pd("string")
+def st_asText(s: pd.Series) -> pd.Series:
+    return pd.Series([wkt.to_wkt(wkt.wkb_to_geom(b)) for b in s.to_numpy(object)], dtype=object)
+
+
+@_pd("binary")
+def st_asBinary(s: pd.Series) -> pd.Series:
+    return s
+
+
+@_pd("string")
+def st_asGeoJSON(s: pd.Series) -> pd.Series:
+    def enc(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return None
+        if g.kind == wkt.WKB_POINT:
+            return json.dumps({"type": "Point", "coordinates": [g.coords[0], g.coords[1]]})
+        if g.kind == wkt.WKB_LINESTRING:
+            return json.dumps({"type": "LineString", "coordinates": g.coords.tolist()})
+        if g.kind == wkt.WKB_POLYGON:
+            return json.dumps(
+                {"type": "Polygon",
+                 "coordinates": [kernels.close_ring(r).tolist() for r in g.coords]}
+            )
+        return None
+
+    return pd.Series([enc(b) for b in s.to_numpy(object)], dtype=object)
+
+
+@_pd("string")
+def st_geoHash(s: pd.Series, prec: pd.Series) -> pd.Series:
+    lon, lat = wkt.wkb_points_to_lonlat(s)
+    p = int(prec.iloc[0]) if len(prec) else 9
+    # GeoMesa's st_geoHash takes precision in BITS; chars = bits/5
+    chars = max(1, p // 5)
+    return pd.Series(geohash.encode(lon, lat, chars), dtype=object)
+
+
+# -- accessors --------------------------------------------------------------
+
+@_pd("double")
+def st_x(s: pd.Series) -> pd.Series:
+    lon, _ = wkt.wkb_points_to_lonlat(s)
+    return pd.Series(lon)
+
+
+@_pd("double")
+def st_y(s: pd.Series) -> pd.Series:
+    _, lat = wkt.wkb_points_to_lonlat(s)
+    return pd.Series(lat)
+
+
+@_pd("string")
+def st_geometryType(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [g.type_name if (g := wkt.wkb_to_geom(b)) else None for b in s.to_numpy(object)],
+        dtype=object,
+    )
+
+
+@_pd("binary")
+def st_envelope(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s.to_numpy(object):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            out.append(None)
+            continue
+        c = relate._all_coords(g)
+        x0, y0 = c[:, 0].min(), c[:, 1].min()
+        x1, y1 = c[:, 0].max(), c[:, 1].max()
+        if x0 == x1 and y0 == y1:
+            out.append(wkt.point_to_wkb(x0, y0))
+        else:
+            ring = np.asarray([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+            out.append(wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_POLYGON, [ring])))
+    return pd.Series(out, dtype=object)
+
+
+@_pd("boolean")
+def st_isEmpty(s: pd.Series) -> pd.Series:
+    return pd.Series([wkt.wkb_to_geom(b) is None for b in s.to_numpy(object)])
+
+
+@_pd("boolean")
+def st_isValid(s: pd.Series) -> pd.Series:
+    def valid(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return False
+        if g.kind == wkt.WKB_POLYGON:
+            return all(len(kernels.close_ring(r)) >= 4 for r in g.coords)
+        return True
+
+    return pd.Series([valid(b) for b in s.to_numpy(object)])
+
+
+@_pd("int")
+def st_numPoints(s: pd.Series) -> pd.Series:
+    def n(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return None
+        return len(relate._all_coords(g))
+
+    return pd.Series([n(b) for b in s.to_numpy(object)], dtype="Int32")
+
+
+@_pd("binary")
+def st_pointN(s: pd.Series, idx: pd.Series) -> pd.Series:
+    out = []
+    for b, i in zip(s.to_numpy(object), idx.to_numpy()):
+        g = wkt.wkb_to_geom(b)
+        if g is None or g.kind != wkt.WKB_LINESTRING:
+            out.append(None)
+            continue
+        i = int(i)
+        n = len(g.coords)
+        i = i - 1 if i > 0 else n + i  # 1-based like JTS ST_PointN
+        if 0 <= i < n:
+            out.append(wkt.point_to_wkb(g.coords[i, 0], g.coords[i, 1]))
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_exteriorRing(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s.to_numpy(object):
+        g = wkt.wkb_to_geom(b)
+        if g is None or g.kind != wkt.WKB_POLYGON:
+            out.append(None)
+        else:
+            out.append(
+                wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_LINESTRING, kernels.close_ring(g.coords[0])))
+            )
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_centroid(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s.to_numpy(object):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            out.append(None)
+        elif g.kind == wkt.WKB_POINT:
+            out.append(b)
+        elif g.kind == wkt.WKB_POLYGON:
+            cx, cy = kernels.polygon_centroid(g.coords[0])
+            out.append(wkt.point_to_wkb(cx, cy))
+        else:
+            c = relate._all_coords(g)
+            out.append(wkt.point_to_wkb(float(c[:, 0].mean()), float(c[:, 1].mean())))
+    return pd.Series(out, dtype=object)
+
+
+# -- measurement ------------------------------------------------------------
+
+@_pd("double")
+def st_area(s: pd.Series) -> pd.Series:
+    def area(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return None
+        if g.kind == wkt.WKB_POLYGON:
+            a = kernels.polygon_area(g.coords[0])
+            for hole in g.coords[1:]:
+                a -= kernels.polygon_area(hole)
+            return a
+        if g.kind == wkt.WKB_MULTIPOLYGON:
+            return sum(
+                kernels.polygon_area(p[0]) - sum(kernels.polygon_area(h) for h in p[1:])
+                for p in g.coords
+            )
+        return 0.0
+
+    return pd.Series([area(b) for b in s.to_numpy(object)])
+
+
+@_pd("double")
+def st_length(s: pd.Series) -> pd.Series:
+    def ln(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return None
+        if g.kind == wkt.WKB_LINESTRING:
+            return kernels.linestring_length_deg(g.coords)
+        if g.kind == wkt.WKB_POLYGON:
+            return sum(kernels.linestring_length_deg(kernels.close_ring(r)) for r in g.coords)
+        return 0.0
+
+    return pd.Series([ln(b) for b in s.to_numpy(object)])
+
+
+@_pd("double")
+def st_lengthSphere(s: pd.Series) -> pd.Series:
+    def ln(b):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            return None
+        if g.kind == wkt.WKB_LINESTRING:
+            return kernels.linestring_length_m(g.coords)
+        return 0.0
+
+    return pd.Series([ln(b) for b in s.to_numpy(object)])
+
+
+@_pd("double")
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    if _all_points(a) and _all_points(b):  # vectorized hot path
+        lon1, lat1 = wkt.wkb_points_to_lonlat(a)
+        lon2, lat2 = wkt.wkb_points_to_lonlat(b)
+        return pd.Series(np.sqrt((lon1 - lon2) ** 2 + (lat1 - lat2) ** 2))
+    ga, gb = _parse_series(a), _parse_series(b)
+    return pd.Series(
+        [relate.distance_deg(x, y) if x and y else None for x, y in zip(ga, gb)]
+    )
+
+
+@_pd("double")
+def st_distanceSphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    if _all_points(a) and _all_points(b):
+        lon1, lat1 = wkt.wkb_points_to_lonlat(a)
+        lon2, lat2 = wkt.wkb_points_to_lonlat(b)
+        return pd.Series(kernels.haversine_m(lon1, lat1, lon2, lat2))
+    ga, gb = _parse_series(a), _parse_series(b)
+    return pd.Series(
+        [relate.distance_sphere_m(x, y) if x and y else None for x, y in zip(ga, gb)]
+    )
+
+
+@_pd("binary")
+def st_translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for b, mx, my in zip(s.to_numpy(object), dx.to_numpy(), dy.to_numpy()):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            out.append(None)
+            continue
+        if g.kind == wkt.WKB_POINT:
+            out.append(wkt.point_to_wkb(g.coords[0] + mx, g.coords[1] + my))
+        elif g.kind == wkt.WKB_LINESTRING:
+            out.append(wkt.geom_to_wkb(wkt.Geometry(g.kind, g.coords + [mx, my])))
+        elif g.kind == wkt.WKB_POLYGON:
+            out.append(
+                wkt.geom_to_wkb(wkt.Geometry(g.kind, [r + [mx, my] for r in g.coords]))
+            )
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+# -- relations --------------------------------------------------------------
+
+def _binary_relation(fn):
+    def impl(a: pd.Series, b: pd.Series) -> pd.Series:
+        ga, gb = _parse_series(a), _parse_series(b)
+        return pd.Series(
+            [bool(fn(x, y)) if (x is not None and y is not None) else None
+             for x, y in zip(ga, gb)]
+        )
+
+    impl._st_dtype = "boolean"
+    return impl
+
+
+st_contains = _binary_relation(relate.contains)
+st_within = _binary_relation(lambda a, b: relate.contains(b, a))
+st_intersects = _binary_relation(relate.intersects)
+st_disjoint = _binary_relation(lambda a, b: not relate.intersects(a, b))
+st_covers = _binary_relation(relate.covers)
+st_coveredBy = _binary_relation(lambda a, b: relate.covers(b, a))
+st_equals = _binary_relation(relate.equals)
+st_crosses = _binary_relation(
+    lambda a, b: relate.intersects(a, b) and not relate.contains(a, b) and not relate.contains(b, a)
+)
+st_overlaps = _binary_relation(
+    lambda a, b: a.kind == b.kind and relate.intersects(a, b)
+    and not relate.contains(a, b) and not relate.contains(b, a) and not relate.equals(a, b)
+)
+st_touches = _binary_relation(
+    lambda a, b: relate.intersects(a, b)
+    and not (relate.contains(a, b) or relate.contains(b, a))
+    and _touch_only(a, b)
+)
+
+
+def _touch_only(a, b) -> bool:
+    """True when the geometries meet only at boundaries (point-on-boundary
+    / shared edge), i.e. no interior-interior overlap."""
+    if a.kind == wkt.WKB_POINT and b.kind == wkt.WKB_POLYGON:
+        return relate._pip_one(a.coords[0], a.coords[1], b.coords) == kernels.PIP_BOUNDARY
+    if b.kind == wkt.WKB_POINT and a.kind == wkt.WKB_POLYGON:
+        return relate._pip_one(b.coords[0], b.coords[1], a.coords) == kernels.PIP_BOUNDARY
+    if a.kind == wkt.WKB_POLYGON and b.kind == wkt.WKB_POLYGON:
+        oa = kernels.close_ring(a.coords[0])
+        ob = kernels.close_ring(b.coords[0])
+        ca = kernels.point_in_polygon(ob[:-1, 0], ob[:-1, 1], a.coords)
+        cb = kernels.point_in_polygon(oa[:-1, 0], oa[:-1, 1], b.coords)
+        return not (ca == kernels.PIP_IN).any() and not (cb == kernels.PIP_IN).any()
+    return False
+
+
+@_pd("boolean")
+def st_dwithin(a: pd.Series, b: pd.Series, meters: pd.Series) -> pd.Series:
+    m = meters.to_numpy(np.float64)
+    if _all_points(a) and _all_points(b):
+        lon1, lat1 = wkt.wkb_points_to_lonlat(a)
+        lon2, lat2 = wkt.wkb_points_to_lonlat(b)
+        return pd.Series(kernels.haversine_m(lon1, lat1, lon2, lat2) <= m)
+    ga, gb = _parse_series(a), _parse_series(b)
+    return pd.Series(
+        [
+            relate.distance_sphere_m(x, y) <= mm if (x is not None and y is not None) else None
+            for x, y, mm in zip(ga, gb, m)
+        ]
+    )
+
+
+# -- processing -------------------------------------------------------------
+
+@_pd("binary")
+def st_antimeridianSafeGeom(s: pd.Series) -> pd.Series:
+    out = []
+    for b in s.to_numpy(object):
+        g = wkt.wkb_to_geom(b)
+        if g is None:
+            out.append(None)
+            continue
+        parts = wkt.antimeridian_split(g) if g.kind == wkt.WKB_POLYGON else [g]
+        if len(parts) == 1:
+            out.append(b)
+        else:
+            out.append(
+                wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_MULTIPOLYGON, [p.coords for p in parts]))
+            )
+    return pd.Series(out, dtype=object)
+
+
+@_pd("binary")
+def st_bufferPoint(s: pd.Series, meters: pd.Series) -> pd.Series:
+    """Geodesic point buffer: 32-gon polygon of the given radius."""
+    lon, lat = wkt.wkb_points_to_lonlat(s)
+    m = meters.to_numpy(np.float64)
+    out = []
+    ang = np.linspace(0.0, 2 * np.pi, 33)
+    for lo, la, mm in zip(lon, lat, m):
+        if not np.isfinite(lo) or not np.isfinite(la):
+            out.append(None)
+            continue
+        dlat = np.degrees(mm / kernels.EARTH_RADIUS_M)
+        dlon = dlat / max(np.cos(np.radians(la)), 1e-9)
+        ring = np.stack([lo + dlon * np.cos(ang), la + dlat * np.sin(ang)], axis=1)
+        out.append(wkt.geom_to_wkb(wkt.Geometry(wkt.WKB_POLYGON, [ring])))
+    return pd.Series(out, dtype=object)
+
+
+# -- registration -----------------------------------------------------------
+
+_REGISTRY = {
+    # constructors (+ GeoMesa aliases)
+    "st_geomFromWKT": st_geomFromWKT,
+    "st_geomFromText": st_geomFromWKT,
+    "st_geometryFromText": st_geomFromWKT,
+    "st_pointFromText": st_geomFromWKT,
+    "st_lineFromText": st_geomFromWKT,
+    "st_polygonFromText": st_geomFromWKT,
+    "st_mPolyFromText": st_geomFromWKT,
+    "st_mLineFromText": st_geomFromWKT,
+    "st_mPointFromText": st_geomFromWKT,
+    "st_geomFromWKB": st_geomFromWKB,
+    "st_pointFromWKB": st_geomFromWKB,
+    "st_point": st_point,
+    "st_makePoint": st_point,
+    "st_makeBBOX": st_makeBBOX,
+    "st_makeBox2D": st_makeBBOX,
+    "st_makeLine": st_makeLine,
+    "st_makePolygon": st_makePolygon,
+    "st_geomFromGeoHash": st_geomFromGeoHash,
+    "st_box2DFromGeoHash": st_geomFromGeoHash,
+    "st_pointFromGeoHash": st_pointFromGeoHash,
+    # outputs
+    "st_asText": st_asText,
+    "st_asBinary": st_asBinary,
+    "st_byteArray": st_asBinary,
+    "st_asGeoJSON": st_asGeoJSON,
+    "st_geoHash": st_geoHash,
+    # accessors
+    "st_x": st_x,
+    "st_y": st_y,
+    "st_geometryType": st_geometryType,
+    "st_envelope": st_envelope,
+    "st_isEmpty": st_isEmpty,
+    "st_isValid": st_isValid,
+    "st_numPoints": st_numPoints,
+    "st_pointN": st_pointN,
+    "st_exteriorRing": st_exteriorRing,
+    "st_centroid": st_centroid,
+    # casts are identity over WKB (type tags live in the bytes)
+    "st_castToPoint": st_geomFromWKB,
+    "st_castToPolygon": st_geomFromWKB,
+    "st_castToLineString": st_geomFromWKB,
+    "st_castToGeometry": st_geomFromWKB,
+    # measurement
+    "st_area": st_area,
+    "st_length": st_length,
+    "st_lengthSphere": st_lengthSphere,
+    "st_distance": st_distance,
+    "st_distanceSphere": st_distanceSphere,
+    "st_distanceSpheroid": st_distanceSphere,  # sphere approx (documented)
+    "st_translate": st_translate,
+    # relations
+    "st_contains": st_contains,
+    "st_within": st_within,
+    "st_intersects": st_intersects,
+    "st_disjoint": st_disjoint,
+    "st_covers": st_covers,
+    "st_coveredBy": st_coveredBy,
+    "st_equals": st_equals,
+    "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps,
+    "st_touches": st_touches,
+    "st_dwithin": st_dwithin,
+    # processing
+    "st_antimeridianSafeGeom": st_antimeridianSafeGeom,
+    "st_idlSafeGeom": st_antimeridianSafeGeom,
+    "st_bufferPoint": st_bufferPoint,
+}
+
+
+_UDF_CACHE: dict[int, object] = {}
+
+
+def get_udf(name: str):
+    """Column-API handle for one st_* function (lazily built pandas UDF)."""
+    fn = _REGISTRY[name]
+    key = id(fn)
+    if key not in _UDF_CACHE:
+        _UDF_CACHE[key] = F.pandas_udf(fn, fn._st_dtype)
+    return _UDF_CACHE[key]
+
+
+def register(spark: SparkSession) -> list[str]:
+    """Register the full surface with ``spark.udf.register`` so SQL strings
+    written against GeoMesa keep working.  Returns the registered names."""
+    for name in _REGISTRY:
+        spark.udf.register(name, get_udf(name))
+    return sorted(_REGISTRY)

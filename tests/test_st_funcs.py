@@ -1,0 +1,145 @@
+"""SQL ``st_*`` surface tests — golden truth tables in the style of the
+reference's SparkSQL function tests (public tree:
+geomesa-spark-sql/src/test/.../SparkSQLSpatialRelationshipsTest.scala)."""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.functions import st_funcs
+from geomesa_spark.geo import geohash
+
+
+@pytest.fixture(scope="module", autouse=True)
+def registered(spark):
+    names = st_funcs.register(spark)
+    assert "st_contains" in names and "st_geomFromWKT" in names
+    return names
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+POLY = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+HOLED = "st_geomFromWKT('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')"
+LINE = "st_geomFromWKT('LINESTRING(0 0, 10 10)')"
+
+
+class TestRelations:
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            (f"st_contains({POLY}, st_point(5D, 5D))", True),
+            (f"st_contains({POLY}, st_point(0D, 5D))", False),   # boundary excluded
+            (f"st_intersects({POLY}, st_point(0D, 5D))", True),  # boundary included
+            (f"st_covers({POLY}, st_point(0D, 5D))", True),
+            (f"st_within(st_point(5D, 5D), {POLY})", True),
+            (f"st_disjoint({POLY}, st_point(50D, 50D))", True),
+            (f"st_contains({HOLED}, st_point(5D, 5D))", False),  # in the hole
+            (f"st_contains({HOLED}, st_point(2D, 2D))", True),
+            (f"st_intersects({POLY}, {LINE})", True),
+            (f"st_intersects({LINE}, st_geomFromWKT('LINESTRING(0 10, 10 0)'))", True),
+            (f"st_intersects({LINE}, st_geomFromWKT('LINESTRING(20 20, 30 30)'))", False),
+            (
+                f"st_contains({POLY}, st_geomFromWKT('POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))'))",
+                True,
+            ),
+            (
+                f"st_intersects({POLY}, st_geomFromWKT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))'))",
+                True,
+            ),
+            (
+                f"st_contains({POLY}, st_geomFromWKT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))'))",
+                False,
+            ),
+            (f"st_equals({POLY}, {POLY})", True),
+            (f"st_touches({POLY}, st_point(0D, 5D))", True),
+            (f"st_touches({POLY}, st_point(5D, 5D))", False),
+            (f"st_dwithin(st_point(0D, 0D), st_point(0.5D, 0D), 60000D)", True),
+            (f"st_dwithin(st_point(0D, 0D), st_point(0.5D, 0D), 50000D)", False),
+        ],
+    )
+    def test_truth_table(self, spark, expr, expected):
+        assert one(spark, expr) is expected
+
+
+class TestConstructorsAccessors:
+    def test_point_xy_roundtrip(self, spark):
+        assert one(spark, "st_x(st_point(1.5D, -2.5D))") == 1.5
+        assert one(spark, "st_y(st_point(1.5D, -2.5D))") == -2.5
+
+    def test_wkt_roundtrip(self, spark):
+        assert one(spark, "st_asText(st_geomFromWKT('POINT(3 4)'))") == "POINT (3 4)"
+        t = one(spark, f"st_asText({POLY})")
+        assert t.startswith("POLYGON ((0 0, 10 0")
+
+    def test_malformed_null(self, spark):
+        assert one(spark, "st_geomFromWKT('POINT(oops)')") is None
+        assert one(spark, "st_geometryType(st_geomFromWKT('nope'))") is None
+
+    def test_geometry_type(self, spark):
+        assert one(spark, f"st_geometryType({POLY})") == "Polygon"
+        assert one(spark, f"st_geometryType({LINE})") == "LineString"
+        assert one(spark, "st_geometryType(st_point(0D, 0D))") == "Point"
+
+    def test_envelope_numpoints(self, spark):
+        assert one(spark, f"st_geometryType(st_envelope({LINE}))") == "Polygon"
+        assert one(spark, f"st_numPoints({POLY})") == 5
+
+    def test_makebbox_contains(self, spark):
+        assert one(spark, "st_contains(st_makeBBOX(0D, 0D, 10D, 10D), st_point(5D, 5D))") is True
+
+    def test_geojson(self, spark):
+        import json
+
+        j = json.loads(one(spark, "st_asGeoJSON(st_point(1D, 2D))"))
+        assert j == {"type": "Point", "coordinates": [1.0, 2.0]}
+
+    def test_geohash_roundtrip(self, spark):
+        gh = one(spark, "st_geoHash(st_point(-0.1276D, 51.5072D), 45)")
+        assert isinstance(gh, str) and len(gh) == 9
+        lon, lat = geohash.decode_center(gh)
+        assert abs(lon - -0.1276) < 0.001 and abs(lat - 51.5072) < 0.001
+        back = one(spark, f"st_x(st_pointFromGeoHash('{gh}'))")
+        assert abs(back - -0.1276) < 0.001
+
+    def test_centroid_area_length(self, spark):
+        assert one(spark, f"st_area({POLY})") == 100.0
+        assert abs(one(spark, f"st_area({HOLED})") - 96.0) < 1e-9
+        assert one(spark, f"st_x(st_centroid({POLY}))") == 5.0
+        assert abs(one(spark, f"st_length({LINE})") - np.sqrt(200)) < 1e-9
+
+    def test_distance(self, spark):
+        assert one(spark, "st_distance(st_point(0D, 0D), st_point(3D, 4D))") == 5.0
+        d = one(spark, "st_distanceSphere(st_point(0D, 0D), st_point(1D, 0D))")
+        assert abs(d - 111_195) < 50
+
+    def test_translate_buffer(self, spark):
+        assert one(spark, "st_x(st_translate(st_point(1D, 1D), 2D, 3D))") == 3.0
+        assert (
+            one(
+                spark,
+                "st_contains(st_bufferPoint(st_point(10D, 10D), 10000D), st_point(10.05D, 10D))",
+            )
+            is True
+        )
+
+    def test_antimeridian_safe(self, spark):
+        t = one(
+            spark,
+            "st_geometryType(st_antimeridianSafeGeom("
+            "st_geomFromWKT('POLYGON((175 -5, -175 -5, -175 5, 175 5, 175 -5))')))",
+        )
+        assert t == "MultiPolygon"
+
+    def test_make_line_polygon(self, spark):
+        n = one(
+            spark,
+            "st_numPoints(st_makeLine(array(st_point(0D,0D), st_point(1D,1D), st_point(2D,0D))))",
+        )
+        assert n == 3
+        a = one(
+            spark,
+            "st_area(st_makePolygon(st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4, 0 4, 0 0)')))",
+        )
+        assert a == 16.0

@@ -1,0 +1,135 @@
+"""Scaling-evidence harness (north_rule: throughput efficiency ≥ 0.8 from
+N to 4N executors; sandbox adaptation per BASELINE.md = same job, same
+input, local[8] vs local[32]).
+
+Runs the flagship spatial join + tile pyramid in SEPARATE JVMs at each
+parallelism, takes the best of ``--reps`` runs, and rewrites
+``BENCH/BASELINE.md`` with throughput at both sizes + efficiency.
+
+Usage: python tools/scaling_bench.py [--sf-dir D] [--n-docs N] [--reps R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+cores = %(cores)d
+from geomesa_spark.session import get_spark
+from geomesa_spark.sources import corpus
+import __spark_entry__ as entry_mod
+from geomesa_spark.operators import spatial_join as sj, tiling
+
+path = %(path)r
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+entry_mod._ship_package(spark)
+docs = spark.read.parquet(path)
+n = docs.count()
+# warm-up (JIT, Arrow workers) on a slice, excluded from the clock
+sj.spatial_join_documents(docs.limit(20000), corpus.fixture_polygons(), "intersects").count()
+
+t0 = time.time()
+join_rows = sj.spatial_join_documents(docs, corpus.fixture_polygons(), "intersects").count()
+t_join = time.time() - t0
+
+pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
+t0 = time.time()
+tile_rows = tiling.tile_pyramid(pts, [5, 8, 11]).count()
+t_tile = time.time() - t0
+
+print("RESULT " + json.dumps({
+    "cores": cores, "n_docs": n, "join_s": round(t_join, 3),
+    "tile_s": round(t_tile, 3), "join_rows": join_rows, "tile_rows": tile_rows,
+    "join_docs_per_s": round(n / t_join, 1), "tile_docs_per_s": round(n / t_tile, 1),
+}))
+spark.stop()
+"""
+
+
+def run_child(cores: int, path: str) -> dict:
+    code = CHILD % {"repo": REPO, "cores": cores, "path": path}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-docs", type=int, default=800_000,
+                    help="corpus size for the scaling run (big enough to be compute-bound)")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from geomesa_spark.sources import corpus
+
+    os.makedirs(corpus.CACHE_DIR, exist_ok=True)
+    path = os.path.join(corpus.CACHE_DIR, f"documents_spans_n{args.n_docs}.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        pq.write_table(corpus.synth_documents_spans(args.n_docs), path, row_group_size=16384)
+
+    results = {}
+    for cores in (args.small, args.large):
+        best = None
+        for _ in range(args.reps):
+            r = run_child(cores, path)
+            if best is None or r["join_s"] < best["join_s"]:
+                best = dict(r)
+                best["tile_s"] = min(best["tile_s"], r["tile_s"])
+        results[cores] = best
+        print(f"local[{cores}]: {best}")
+
+    s, l = results[args.small], results[args.large]
+    ratio = args.large / args.small
+    eff_join = (l["join_docs_per_s"] / s["join_docs_per_s"]) / ratio
+    eff_tile = (l["tile_docs_per_s"] / s["tile_docs_per_s"]) / ratio
+    assert s["join_rows"] == l["join_rows"] and s["tile_rows"] == l["tile_rows"], "results differ across parallelism!"
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling evidence (north_rule)
+
+The north_rule requires throughput scaling efficiency ≥ 0.8 between a
+cluster of N and 4N executors.  No real cluster exists in this sandbox
+(BASELINE.md cluster-scaling note), so the evidence is the same job on the
+same input at two parallelism levels in separate JVMs:
+``local[{args.small}]`` (N) vs ``local[{args.large}]`` (4N), corpus =
+{s['n_docs']:,} interleaved-span documents (seed 42), best of {args.reps}.
+
+| job | local[{args.small}] | local[{args.large}] | efficiency (thr_4N / (4 x thr_N)) |
+|---|---|---|---|
+| flagship spatial join (st_intersects, 12 polygons) | {s['join_s']} s = {s['join_docs_per_s']:,.0f} docs/s | {l['join_s']} s = {l['join_docs_per_s']:,.0f} docs/s | **{eff_join:.2f}** |
+| tile pyramid (zooms 5/8/11) | {s['tile_s']} s = {s['tile_docs_per_s']:,.0f} docs/s | {l['tile_s']} s = {l['tile_docs_per_s']:,.0f} docs/s | **{eff_tile:.2f}** |
+
+Output parity across sizes: join rows {s['join_rows']:,} == {l['join_rows']:,};
+tile rows {s['tile_rows']:,} == {l['tile_rows']:,} (identical — the plan is
+parallelism-invariant).
+
+Reproduce: ``python tools/scaling_bench.py``.
+Raw: ``BENCH/scaling.json``.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"small": s, "large": l, "eff_join": eff_join, "eff_tile": eff_tile}, f, indent=2)
+    print(f"join efficiency {eff_join:.2f}, tile efficiency {eff_tile:.2f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
