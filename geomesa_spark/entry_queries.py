@@ -359,6 +359,69 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (engine: Arrow UDF stopword voting; oracle:
+    the same argmax spelled in SQL — first-language-wins tie semantics)."""
+    from .functions import text as text_fns
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_fns.lang_id_udf()(F.col("text")).alias("pred_lang"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Rows-only: MinHash+LSH near-dup candidate pairs over documents
+    (signatures not SQL-expressible; verified by pytest numpy oracles)."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn("doc_id_s", F.col("doc_id").cast("string"))
+    return dedup.minhash_lsh_pairs(d, id_col="doc_id_s", jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Rows-only: SimHash Hamming-ball near-dup pairs."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn("doc_id_s", F.col("doc_id").cast("string"))
+    return dedup.simhash_pairs(d, id_col="doc_id_s", max_hamming=4)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Rows-only: random-hyperplane LSH cosine near-dups over embeddings
+    (LSH recall is probabilistic — exact brute-force twin is the
+    ann_topk_cosine entry)."""
+    from .operators import dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(e, cos_threshold=0.9, n_planes=8, n_tables=8).select(
+        "id_a", "id_b"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Rows-only: multimodal feature extraction over the span corpus
+    (decode stage stubbed deterministically — no image libs offline)."""
+    from .operators import multimodal
+    from .sources import corpus
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    return multimodal.media_features(docs, feature_dim=8).select(
+        "doc_id", "span_idx", "media_ref", "width", "height"
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Rows-only: rolling-hash document fingerprints grouped into
+    collision classes."""
+    from .functions import text as text_fns
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", text_fns.fingerprint_udf()(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -401,6 +464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -574,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id ASC) AS rank
               FROM s)
             SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM r WHERE rank <= 5
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS tk
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+                len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS s_de,
+                len(list_filter(tk, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+                len(list_filter(tk, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))) AS s_es
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM s
         """,
         "text_quality": """
             SELECT doc_id,

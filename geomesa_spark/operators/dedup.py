@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the GeoMesa reference surface — these are the corpus-pipeline
+operators the build brief adds as first-class components.  All stages are
+Spark-native or Arrow-batched; nothing collects to the driver.
+
+- :func:`exact_dedup` — hash-groupBy keep-first (one shuffle on the hash);
+- :func:`minhash_lsh_pairs` — shingle → minhash signature (numpy, one
+  Arrow pass) → banding → candidate pairs via self-join on (band, bucket)
+  → exact Jaccard verify.  The classic MinHash+LSH pipeline: at 100 TB
+  the only shuffle is on band buckets, and the verify join touches only
+  candidates;
+- :func:`simhash_pairs` — 64-bit SimHash + Hamming-ball blocking via
+  4-way table split (each pair within distance k shares at least one of
+  k+1 exact sub-blocks);
+- :func:`embedding_near_dup` — cosine near-duplicates over an embedding
+  column using LSH random-hyperplane buckets + exact verify.
+
+Determinism: all hash seeds fixed; permutations from a seeded rng.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_MERSENNE = (1 << 61) - 1
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """All k-byte-shingle hashes of a string, fully vectorized: polynomial
+    hash over the utf-8 bytes with uint64 wraparound.  DETERMINISTIC across
+    processes (never Python's salted ``hash``)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = _FNV_PRIME ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h >> np.uint64(3))  # drop low bits (power-pattern bias)
+
+
+def _token_hash64(tok: str) -> int:
+    """Deterministic 64-bit token hash from two salted crc32s (C-speed)."""
+    b = tok.encode("utf-8", "ignore")
+    return (zlib.crc32(b, 0xDEADBEEF) << 32) | zlib.crc32(b, 0x12345678)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact text hash.  Map-side partial agg →
+    one shuffle; at scale, xxhash64 keys distribute uniformly."""
+    return (
+        df.withColumn("_h", F.xxhash64(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .withColumnRenamed("_h", "text_hash")
+    )
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>) — k-character shingles hashed then min-hashed
+    under ``num_perm`` universal-hash permutations, all inside one Arrow
+    batch pass (numpy broadcast over shingles × permutations)."""
+    a, b = _minhash_params(num_perm)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        av = a.astype(np.uint64)
+        bv = b.astype(np.uint64)
+        for t in texts.to_numpy(object):
+            if not t:
+                out.append([0] * num_perm)
+                continue
+            sh = _shingle_hashes(t.lower(), shingle_k)
+            # h_i(x) = (a_i * x + b_i) mod p — broadcast (perm, shingle)
+            vals = (av[:, None] * sh[None, :] + bv[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate generation by banding + exact signature-Jaccard verify.
+
+    rows_per_band = num_perm // bands; two docs collide if any band of
+    their signatures is identical.  Shuffle cost: one explode to
+    (band, bucket_hash) rows + a self-join on that key — the canonical
+    scalable shape (no O(n²) anywhere; bucket skew is bounded because
+    identical-text floods collapse into the same bucket and are handled
+    by the exact verify's pair dedupe).
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).cache()
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated Jaccard = fraction of matching signature slots (JVM-side)
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / size(sig_a)"
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= float(jaccard_threshold))
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over whitespace tokens, numpy
+    bit-count accumulation per Arrow batch."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.to_numpy(object)):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (_token_hash64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            acc = np.where(bits == 1, 1, -1).sum(axis=0)
+            val = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+            out[i] = val.astype(np.int64)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ k via block-split candidate
+    generation: split 64 bits into k+1 blocks; any pair within distance k
+    agrees exactly on ≥1 block (pigeonhole) → equi-join per block, then
+    exact popcount verify.  Shuffles only on 16-bit block keys."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash_bits(df, text_col, id_col).cache()
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    cos_threshold: float = 0.95, n_planes: int = 16, n_tables: int = 4, seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH: ``n_tables``
+    independent sign-sketches of ``n_planes`` bits; candidates share a
+    full sketch in ≥1 table; exact cosine verifies.  The scale path for
+    what a brute-force O(n²) cross join can't do."""
+    first = df.select(vec_col).first()
+    d = dim or len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, d))
+
+    @F.pandas_udf("array<long>")
+    def sketches(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs.to_numpy(object)])
+        out = []
+        if len(mat) == 0:
+            return pd.Series(out)
+        keys = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0  # (rows, planes)
+            keys[:, t] = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        return pd.Series([k.tolist() for k in keys])
+
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketches(F.col(vec_col)).alias("sk")
+    )
+    exploded = tagged.select(
+        "id", "v", F.posexplode("sk").alias("table", "key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in va.to_numpy(object)])
+        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in vb.to_numpy(object)])
+        if len(ma) == 0:
+            return pd.Series([], dtype=float)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return (
+        cand.withColumn("cosine", cos(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= float(cos_threshold))
+        .select("id_a", "id_b", "cosine")
+    )

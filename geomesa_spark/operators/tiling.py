@@ -136,7 +136,7 @@ def rasterize_tiles(
     t = with_tile_xy(points, zoom, lon, lat)
     wcol = weight
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (tile_cell,) = key
         lon0, lat0, lon1, lat1 = cells.cell_bounds(np.asarray([tile_cell]), zoom)
         weights = pdf[wcol].to_numpy(np.float64) if wcol else None

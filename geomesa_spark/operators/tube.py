@@ -1,0 +1,181 @@
+"""Tube select + route join — the reference's track-centric processes.
+
+GeoMesa's TubeSelectProcess builds a spatio-temporal corridor around a
+track (buffer in space × window in time) and returns features inside it;
+RouteSearchProcess matches points to a route polyline by distance (and
+optionally heading) (public tree: geomesa-process-vector/.../tube/
+TubeSelectProcess.scala + TubeBuilder, .../route/RouteSearchProcess.scala;
+mount empty at survey time — SURVEY.md §0).
+
+Spark restatement:
+- the track/route is the SMALL side: its segments are covered with cells
+  padded for the buffer radius, broadcast, equi-joined on the candidate's
+  cell, then refined with the exact point-to-segment geodesic kernel;
+- the temporal corridor is a plain interval predicate: candidate.ts
+  within ± ``max_delta_s`` of the time interpolated along the track
+  (per-segment linear interpolation) — evaluated in the same Arrow batch
+  as the distance refine, so one UDF pass does both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .. import cells
+from ..geo import kernels
+from .spatial_join import cell_encode_udf
+
+
+def _segments_cover(coords: np.ndarray, buffer_m: float, res: int) -> np.ndarray:
+    """Complete cell cover of a polyline dilated by ``buffer_m``: per
+    vertex, the radius cover; per segment, covers of its bbox padded by
+    the buffer — cheap and complete (refine removes slack)."""
+    covers = []
+    pad_lat = np.degrees(buffer_m / kernels.EARTH_RADIUS_M)
+    for i in range(len(coords) - 1):
+        x0, y0 = coords[i]
+        x1, y1 = coords[i + 1]
+        lat_ref = max(min(abs(y0), abs(y1)), 0.0)
+        pad_lon = pad_lat / max(np.cos(np.radians(lat_ref + pad_lat)), 1e-6)
+        c, r = cells.cover_bbox(
+            min(x0, x1) - pad_lon, max(min(y0, y1) - pad_lat, -90.0),
+            max(x0, x1) + pad_lon, min(max(y0, y1) + pad_lat, 90.0), res, max_cells=2048
+        )
+        covers.append(c if r == res else _expand(c, r, res))
+    return np.unique(np.concatenate(covers))
+
+
+def _expand(c: np.ndarray, r: int, res: int) -> np.ndarray:
+    """Expand coarser cells back to ``res`` (bounded by the cover budget)."""
+    span = res - r
+    if span <= 0:
+        return np.unique(cells.parent(c, r - res))
+    base = c.astype(np.int64) << (2 * span)
+    offs = np.arange(1 << (2 * span), dtype=np.int64)
+    return (base[:, None] + offs[None, :]).ravel()
+
+
+def tube_select(
+    candidates: DataFrame,
+    track: pd.DataFrame,
+    buffer_m: float,
+    max_delta_s: float | None = None,
+    res: int = 8,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Features within ``buffer_m`` of the track polyline and (optionally)
+    within ``max_delta_s`` seconds of the track's interpolated time.
+
+    ``track``: pandas frame with lon/lat (+ ts for the temporal corridor),
+    ordered.  Returns candidate rows + ``tube_dist_m``.
+    """
+    spark = candidates.sparkSession
+    coords = track[["lon", "lat"]].to_numpy(np.float64)
+    cover = _segments_cover(coords, buffer_m, res)
+    cover_df = spark.createDataFrame(pd.DataFrame({"cell": cover}))
+
+    track_ts = (
+        track[ts_col].astype("datetime64[ns]").astype(np.int64).to_numpy() / 1e9
+        if (max_delta_s is not None and ts_col in track)
+        else None
+    )
+
+    @F.pandas_udf("double")
+    def tube_dist(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            kernels.point_segments_dist_m(
+                lon.to_numpy(np.float64, na_value=np.nan),
+                lat.to_numpy(np.float64, na_value=np.nan),
+                coords,
+            )
+        )
+
+    pts = candidates.withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    joined = pts.join(F.broadcast(cover_df), "cell", "inner")
+    joined = joined.withColumn("tube_dist_m", tube_dist(F.col("lon"), F.col("lat"))).filter(
+        F.col("tube_dist_m") <= float(buffer_m)
+    )
+
+    if track_ts is not None:
+
+        @F.pandas_udf("double")
+        def time_delta(lon: pd.Series, lat: pd.Series, ts: pd.Series) -> pd.Series:
+            lons = lon.to_numpy(np.float64, na_value=np.nan)
+            lats = lat.to_numpy(np.float64, na_value=np.nan)
+            secs = ts.astype("datetime64[ns]").astype(np.int64).to_numpy() / 1e9
+            # nearest segment + parametric position → interpolated track time
+            x = lons[:, None]
+            y = lats[:, None]
+            x1, y1 = coords[:-1, 0][None, :], coords[:-1, 1][None, :]
+            x2, y2 = coords[1:, 0][None, :], coords[1:, 1][None, :]
+            k = np.cos(np.radians((y1 + y2) / 2.0))
+            px, py = (x - x1) * k, y - y1
+            dx, dy = (x2 - x1) * k, y2 - y1
+            len2 = dx * dx + dy * dy
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(len2 > 0, (px * dx + py * dy) / len2, 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            d2 = (px - t * dx) ** 2 + (py - t * dy) ** 2
+            seg = np.argmin(d2, axis=1)
+            tt = t[np.arange(len(lons)), seg]
+            interp = track_ts[seg] + tt * (track_ts[seg + 1] - track_ts[seg])
+            return pd.Series(np.abs(secs - interp))
+
+        joined = joined.withColumn(
+            "tube_dt_s", time_delta(F.col("lon"), F.col("lat"), F.col(ts_col))
+        ).filter(F.col("tube_dt_s") <= float(max_delta_s))
+
+    return joined.dropDuplicates([id_col])
+
+
+def route_join(
+    points: DataFrame,
+    routes: list[dict],
+    max_dist_m: float,
+    res: int = 8,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Match each point to the NEAREST route within ``max_dist_m``
+    (RouteSearchProcess analogue; heading matching omitted — documented).
+
+    Routes: [{route_id, wkt LINESTRING}].  Small side broadcast; one
+    candidate join per route cover, then a min-distance window."""
+    from pyspark.sql import Window
+
+    from ..geo import wkt as wktmod
+
+    spark = points.sparkSession
+    segs = {}
+    rows = []
+    for r in routes:
+        g = wktmod.parse_wkt(r["wkt"])
+        if g is None or g.kind != wktmod.WKB_LINESTRING:
+            continue
+        segs[r["route_id"]] = g.coords
+        cover = _segments_cover(g.coords, max_dist_m, res)
+        rows.append(pd.DataFrame({"route_id": r["route_id"], "cell": cover}))
+    cover_df = spark.createDataFrame(pd.concat(rows, ignore_index=True).drop_duplicates())
+
+    @F.pandas_udf("double")
+    def route_dist(lon: pd.Series, lat: pd.Series, rid: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(np.float64, na_value=np.nan)
+        lats = lat.to_numpy(np.float64, na_value=np.nan)
+        rids = rid.to_numpy(object)
+        out = np.full(len(lons), np.inf)
+        for rr in pd.unique(rids):
+            m = rids == rr
+            out[m] = kernels.point_segments_dist_m(lons[m], lats[m], segs[rr])
+        return pd.Series(out)
+
+    pts = points.withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    cand = pts.join(F.broadcast(cover_df), "cell", "inner")
+    cand = cand.withColumn("route_dist_m", route_dist(F.col("lon"), F.col("lat"), F.col("route_id")))
+    cand = cand.filter(F.col("route_dist_m") <= float(max_dist_m))
+    w = Window.partitionBy(id_col).orderBy(F.col("route_dist_m").asc(), F.col("route_id").asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    )

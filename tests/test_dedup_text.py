@@ -1,0 +1,176 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests with
+independent numpy oracles (these pipeline operators have no DuckDB-
+expressible oracle — SURVEY.md §5.2.4 fallback)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geomesa_spark.functions import text as text_fns
+from geomesa_spark.operators import dedup, multimodal
+from geomesa_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def near_dup_df(spark):
+    """Synthetic corpus with planted exact + near duplicates."""
+    rng = np.random.default_rng(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(vocab, 30))
+        rows.append((f"d{i:03d}", " ".join(words)))
+    # exact dups
+    rows.append(("d900", rows[0][1]))
+    rows.append(("d901", rows[0][1]))
+    # near dup: one word changed
+    w = rows[1][1].split()
+    w[5] = "CHANGED"
+    rows.append(("d902", " ".join(w)))
+    # disjoint doc
+    rows.append(("d903", "completely different text about nothing shared"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_exact_dedup(spark, near_dup_df):
+    out = dedup.exact_dedup(near_dup_df).toPandas()
+    dups = out[out["n_dups"] > 1]
+    assert len(dups) == 1 and dups.iloc[0]["n_dups"] == 3
+    assert dups.iloc[0]["keep_id"] == "d000"
+    assert out["n_dups"].sum() == near_dup_df.count()
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, near_dup_df):
+    pairs = dedup.minhash_lsh_pairs(near_dup_df, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups must be found with est ≈ 1
+    assert ("d000", "d900") in got and ("d000", "d901") in got and ("d900", "d901") in got
+    assert ("d001", "d902") in got  # near dup
+    assert not any("d903" in p for pair in got for p in pair)
+
+
+def test_minhash_signature_deterministic(spark, near_dup_df):
+    s1 = dedup.minhash_signatures(near_dup_df).orderBy("id").collect()
+    s2 = dedup.minhash_signatures(near_dup_df).orderBy("id").collect()
+    assert s1 == s2
+    by_id = {r["id"]: r["sig"] for r in s1}
+    assert by_id["d000"] == by_id["d900"]  # identical text → identical sig
+
+
+def test_simhash_pairs(spark, near_dup_df):
+    pairs = dedup.simhash_pairs(near_dup_df, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d000", "d900") in got  # hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert hams[("d000", "d900")] == 0
+    assert ("d001", "d902") in got  # near dup within ball
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    # planted near-dup of vec 0 (tiny perturbation)
+    v = base[0] + rng.normal(scale=0.01, size=32)
+    vecs.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(41)), "embedding": [v.astype(float).tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.embedding_near_dup(df, cos_threshold=0.98, n_planes=8, n_tables=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 40) in got
+    # oracle: no other pair has cosine ≥ 0.98
+    sims = base @ base.T
+    np.fill_diagonal(sims, 0)
+    assert sims.max() < 0.98
+    assert got == {(0, 40)}
+
+
+def test_quality_and_lang(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                "the cat sat on the mat and looked at the dog for a while",
+                "der hund ist nicht mit der katze und das ist gut",
+                "!!! ??? ... ;;; :::",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = text_fns.quality_flag(df).toPandas().set_index("doc_id")
+    assert bool(q.loc["a", "keep"]) is True
+    assert bool(q.loc["c", "keep"]) is False  # punctuation-heavy
+    assert bool(q.loc["d", "keep"]) is False  # empty
+    lang = df.withColumn("lang", text_fns.lang_id_udf()(F.col("text"))).toPandas().set_index("doc_id")
+    assert lang.loc["a", "lang"] == "en"
+    assert lang.loc["b", "lang"] == "de"
+    assert lang.loc["d", "lang"] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["hello world, how are you?", "  a  b  "]}))
+    out = df.select(
+        text_fns.token_count("text").alias("ws"),
+        text_fns.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    assert out[0]["ws"] == 5
+    assert out[0]["bpe"] >= 7  # punctuation split out
+    assert out[1]["ws"] == 2
+
+
+def test_fingerprint_whitespace_robust(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["x", "y", "z"],
+                "text": ["some document text here", "some  document   text here", "other thing"],
+            }
+        )
+    )
+    fp = df.withColumn("fp", text_fns.fingerprint_udf()(F.col("text"))).toPandas().set_index("doc_id")
+    assert fp.loc["x", "fp"] == fp.loc["y", "fp"]  # whitespace-normalized
+    assert fp.loc["x", "fp"] != fp.loc["z", "fp"]
+
+
+class TestMultimodal:
+    def test_media_features_shape_and_determinism(self, spark, sf_dir):
+        docs = corpus.load_documents_spans(spark, sf_dir)
+        feats = multimodal.media_features(docs.limit(300), feature_dim=8)
+        pdf = feats.toPandas()
+        assert len(pdf) > 0
+        assert set(pdf.columns) == {
+            "doc_id", "span_idx", "media_ref", "kind", "width", "height", "n_frames", "feature"
+        }
+        assert (pdf["width"] >= 16).all() and (pdf["height"] >= 16).all()
+        assert pdf["feature"].apply(len).eq(8).all()
+        norms = pdf["feature"].apply(lambda v: np.linalg.norm(v))
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+        # deterministic: second run identical
+        pdf2 = multimodal.media_features(docs.limit(300), feature_dim=8).toPandas()
+        a = pdf.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+        b = pdf2.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+        assert a["media_ref"].equals(b["media_ref"])
+        assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+    def test_media_span_indices_point_at_images(self, spark, sf_dir):
+        docs = corpus.load_documents_spans(spark, sf_dir)
+        m = multimodal.extract_media_spans(docs.limit(200))
+        rows = m.select("doc_id", "span_idx", "media_ref", "spans").collect()
+        assert rows
+        for r in rows[:50]:
+            s = r["spans"][r["span_idx"]]
+            assert s["kind"] == "image" and s["media_ref"] == r["media_ref"]
+
+    def test_resize_and_frame_plan(self, spark, sf_dir):
+        docs = corpus.load_documents_spans(spark, sf_dir)
+        feats = multimodal.media_features(docs.limit(100))
+        plan = multimodal.resize_stub(feats, 224, 224)
+        p = plan.limit(5).toPandas()
+        assert (p["scale_x_1000"] > 0).all()
+        fs = multimodal.frame_sample_plan(feats, every_n=1).limit(5).toPandas()
+        assert fs["sample_frames"].apply(len).eq(fs["n_frames"]).all()

@@ -1,0 +1,113 @@
+"""Planner (pruned scan) + lineage/resume tests."""
+
+import os
+import shutil
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from geomesa_spark.geo import kernels
+from geomesa_spark.operators import spatial_join as sj
+from geomesa_spark.plans import lineage, planner
+from geomesa_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def layout(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "docs_points")
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
+    planner.write_partitioned(pts, path, res=10)
+    return path
+
+
+def test_partitioned_layout_prunes(spark, layout):
+    poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
+    cand = planner.scan_partitioned(spark, layout, poly, res=10)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "cell_bucket" in plan  # partition filter reached the scan
+    # pruning is real: candidate partitions < all partitions
+    n_buckets_all = spark.read.parquet(layout).select("cell_bucket").distinct().count()
+    n_buckets_scan = cand.select("cell_bucket").distinct().count()
+    assert n_buckets_scan < n_buckets_all
+
+
+def test_query_matches_bruteforce(spark, layout):
+    poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
+    got = {r["doc_id"] for r in planner.query(spark, layout, poly, "intersects").collect()}
+    pdf = spark.read.parquet(layout).select("doc_id", "lon", "lat").toPandas()
+    cls = kernels.point_in_polygon(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+        [np.array([[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]], dtype=float)],
+    )
+    exp = set(pdf["doc_id"].to_numpy()[cls != kernels.PIP_OUT])
+    assert got == exp and len(got) > 0
+
+
+def test_loose_is_superset(spark, layout):
+    poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
+    exact = {r["doc_id"] for r in planner.query(spark, layout, poly).collect()}
+    loose = {r["doc_id"] for r in planner.query(spark, layout, poly, loose=True).collect()}
+    assert exact <= loose
+
+
+def test_choose_resolution_skew(spark, sf_dir):
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    pts = sj.extract_geo_points(docs).select("lon", "lat")
+    res = planner.choose_resolution(pts, candidate_res=(4, 6, 8), sample=0.5,
+                                    max_rows_per_cell=100)
+    assert res in (4, 6, 8)
+    # with a generous budget the coarsest resolution wins
+    assert planner.choose_resolution(pts, candidate_res=(4, 6), sample=0.5,
+                                     max_rows_per_cell=10**9) == 4
+
+
+class TestLineageResume:
+    def _points(self, spark, sf_dir):
+        docs = corpus.load_documents_spans(spark, sf_dir)
+        pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
+        enc = sj.cell_encode_udf(10)
+        d = pts.withColumn("cell", enc(F.col("lon"), F.col("lat")))
+        return d.withColumn("cell_bucket", F.shiftrightunsigned(F.col("cell"), 12))
+
+    def test_full_run_then_resume_noop(self, spark, sf_dir, tmp_path):
+        job = str(tmp_path / "job1")
+        d = self._points(spark, sf_dir)
+        r1 = lineage.run_partitioned_job(d, job)
+        assert r1["written_buckets"] > 0 and r1["skipped_buckets"] == 0
+        out1 = lineage.read_job_output(spark, job).orderBy("cell", "doc_id").toPandas()
+        # second run: everything already done
+        r2 = lineage.run_partitioned_job(d, job)
+        assert r2["written_buckets"] == 0 and r2["skipped_buckets"] == r1["written_buckets"]
+        out2 = lineage.read_job_output(spark, job).orderBy("cell", "doc_id").toPandas()
+        assert out1.equals(out2)
+        m = lineage.job_metrics(job)
+        assert m["n_rows"].sum() == len(out1)
+        assert (m["cell_min"] <= m["cell_max"]).all()
+
+    def test_partial_failure_resume_byte_identical(self, spark, sf_dir, tmp_path):
+        """Kill after partial manifest → re-run → completed buckets skipped
+        and the final output equals a clean one-shot run (SURVEY.md §5.2.5)."""
+        d = self._points(spark, sf_dir)
+        clean_job = str(tmp_path / "clean")
+        lineage.run_partitioned_job(d, clean_job)
+        clean = lineage.read_job_output(spark, clean_job).orderBy("cell", "doc_id").toPandas()
+
+        # simulate a crash: run only half the buckets, commit, then "resume"
+        crashed_job = str(tmp_path / "crashed")
+        buckets = sorted(r["cell_bucket"] for r in d.select("cell_bucket").distinct().collect())
+        half = buckets[: len(buckets) // 2]
+        r1 = lineage.run_partitioned_job(d.filter(F.col("cell_bucket").isin(half)), crashed_job)
+        assert r1["written_buckets"] == len(half)
+        r2 = lineage.run_partitioned_job(d, crashed_job)
+        assert r2["skipped_buckets"] == len(half)
+        assert r2["written_buckets"] == len(buckets) - len(half)
+        resumed = lineage.read_job_output(spark, crashed_job).orderBy("cell", "doc_id").toPandas()
+        assert clean.equals(resumed)
+
+        # data files byte-identical between clean and resumed runs
+        for f in sorted(os.listdir(os.path.join(clean_job, "data"))):
+            a = open(os.path.join(clean_job, "data", f), "rb").read()
+            b = open(os.path.join(crashed_job, "data", f), "rb").read()
+            assert a == b, f

@@ -1,0 +1,97 @@
+"""Streaming-layer tests: changelog upsert, windowed density, stream-
+static spatial join — driven by the file source against temp parquet
+(no Kafka broker offline; the operators are source-agnostic)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geomesa_spark.streaming import live
+
+
+@pytest.fixture(scope="module")
+def change_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("changes")
+    pdf = pd.DataFrame(
+        {
+            "feature_id": ["f1", "f2", "f1", "f3", "f2", "f1"],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:00:10",
+                    "2026-01-01 00:00:20",  # f1 moves
+                    "2026-01-01 00:00:30",
+                    "2026-01-01 00:00:40",  # f2 delete (below)
+                    "2026-01-01 00:00:05",  # f1 LATE event — must not win
+                ]
+            ),
+            "lon": [10.0, 20.0, 11.0, 30.0, 0.0, 99.0],
+            "lat": [10.0, 20.0, 11.0, 30.0, 0.0, 99.0],
+            "op": ["insert", "insert", "update", "insert", "delete", "update"],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(d / "p"))
+    return str(d / "p")
+
+
+def _read_stream(spark, path, schema):
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_changelog_upsert_latest_wins(spark, change_dir):
+    schema = "feature_id string, ts timestamp, lon double, lat double, op string"
+    stream = _read_stream(spark, change_dir, schema)
+    out = live.run_batches(live.changelog_upsert(stream), "upserts", spark, "update")
+    pdf = out.toPandas()
+    live_rows = pdf[pdf["op"] == "upsert"].set_index("feature_id")
+    # f1: latest EVENT time (00:00:20) wins over the late 00:00:05 record
+    assert live_rows.loc["f1", "lon"] == 11.0
+    assert live_rows.loc["f3", "lon"] == 30.0
+    # f2 was deleted
+    assert "f2" not in live_rows.index
+
+
+def test_live_cell_counts_windows(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:01:00", "2026-01-01 00:02:00", "2026-01-01 00:07:00"]
+            ),
+            "lon": [15.0, 15.0, 15.0],
+            "lat": [15.0, 15.0, 15.0],
+        }
+    )
+    p = str(tmp_path / "pts")
+    spark.createDataFrame(pdf).write.parquet(p)
+    stream = _read_stream(spark, p, "ts timestamp, lon double, lat double")
+    out = live.run_batches(live.live_cell_counts(stream, res=6), "cellcounts", spark, "append")
+    rows = out.orderBy("window_start").collect()
+    assert len(rows) == 2  # two 5-minute windows
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 1
+    assert rows[0]["cell"] == rows[1]["cell"]
+
+
+def test_stream_static_spatial_join(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": ["e1", "e2", "e3"],
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "lon": [15.0, 50.0, 0.0],
+            "lat": [15.0, 0.0, 0.0],
+        }
+    )
+    p = str(tmp_path / "live")
+    spark.createDataFrame(pdf).write.parquet(p)
+    stream = _read_stream(spark, p, "event_id string, ts timestamp, lon double, lat double")
+    polys = [
+        dict(polygon_id="P1", wkt="POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"),
+        dict(polygon_id="P5", wkt="POLYGON((45 -5, 55 -5, 58 2, 50 8, 42 2, 45 -5))"),
+    ]
+    out = live.run_batches(
+        live.stream_static_spatial_join(stream, polys), "livejoin", spark, "append"
+    )
+    got = {(r["event_id"], r["polygon_id"]) for r in out.collect()}
+    assert got == {("e1", "P1"), ("e2", "P5")}

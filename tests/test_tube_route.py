@@ -1,0 +1,108 @@
+"""Tube-select + route-join tests vs brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.geo import kernels, wkt
+from geomesa_spark.operators import spatial_join as sj
+from geomesa_spark.operators import tube
+from geomesa_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def events_df(spark, sf_dir):
+    return spark.read.parquet(corpus.ensure_events_geo(sf_dir)).cache()
+
+
+def _track_near_data(events_df) -> pd.DataFrame:
+    """Build the test corridor from a real track's bounding area so the
+    tube is guaranteed to be non-empty."""
+    base = (
+        events_df.filter(events_df.track_id == "trk-00000")
+        .orderBy("ts")
+        .limit(4)
+        .toPandas()
+    )
+    return pd.DataFrame(
+        {
+            "lon": base["lon"].to_numpy() + np.array([0.0, 0.1, -0.1, 0.2]),
+            "lat": base["lat"].to_numpy() + np.array([0.05, -0.05, 0.1, 0.0]),
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:10:00",
+                 "2026-01-01 00:20:00", "2026-01-01 00:30:00"]
+            ),
+        }
+    )
+
+
+def test_tube_select_spatial_only(spark, events_df):
+    track = _track_near_data(events_df)
+    buf = 80_000.0
+    out = tube.tube_select(events_df, track, buffer_m=buf)
+    got = {r["event_id"] for r in out.select("event_id").collect()}
+    pdf = events_df.select("event_id", "lon", "lat").toPandas()
+    d = kernels.point_segments_dist_m(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), track[["lon", "lat"]].to_numpy()
+    )
+    exp = set(pdf["event_id"].to_numpy()[d <= buf])
+    assert got == exp and len(got) > 0
+
+
+def test_tube_select_temporal_corridor_subset(spark, events_df):
+    track = _track_near_data(events_df)[["lon", "lat"]].iloc[[0, 3]].reset_index(drop=True)
+    track["ts"] = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 02:00:00"])
+    allsp = {r["event_id"] for r in tube.tube_select(events_df, track, 150_000.0).collect()}
+    timed = {
+        r["event_id"]
+        for r in tube.tube_select(events_df, track, 150_000.0, max_delta_s=3600).collect()
+    }
+    assert timed <= allsp
+    # events_geo ts start at 2026-01-01 with tracks ≤ ~3.3h; corridor keeps some
+    if allsp:
+        assert len(timed) <= len(allsp)
+
+
+def test_route_join_nearest(spark, events_df):
+    # routes anchored near two real tracks (plus one far-away fixture)
+    bases = (
+        events_df.filter(events_df.track_id.isin("trk-00001", "trk-00002"))
+        .groupBy("track_id")
+        .agg({"lon": "avg", "lat": "avg"})
+        .orderBy("track_id")
+        .collect()
+    )
+    routes = []
+    for i, b in enumerate(bases):
+        lon0, lat0 = b["avg(lon)"], b["avg(lat)"]
+        coords = ", ".join(
+            f"{lon0 + dx:.6f} {lat0 + dy:.6f}"
+            for dx, dy in [(-0.5, 0.0), (0.0, 0.2), (0.5, -0.1), (1.0, 0.3)]
+        )
+        routes.append(dict(route_id=f"R{i + 1}", name=f"r{i}", wkt=f"LINESTRING({coords})"))
+    routes += [r | {"route_id": "RFAR"} for r in corpus.fixture_routes()[:1]]
+    out = tube.route_join(events_df, routes, max_dist_m=100_000.0)
+    rows = out.select("event_id", "route_id", "route_dist_m").collect()
+    assert rows
+    pdf = events_df.select("event_id", "lon", "lat").toPandas().set_index("event_id")
+    segs = {r["route_id"]: wkt.parse_wkt(r["wkt"]).coords for r in routes}
+    # verify a sample: assigned route is the argmin and within range
+    for r in rows[:40]:
+        lon, lat = pdf.loc[r["event_id"], ["lon", "lat"]]
+        dists = {
+            rid: float(kernels.point_segments_dist_m(np.asarray([lon]), np.asarray([lat]), c)[0])
+            for rid, c in segs.items()
+        }
+        best = min(sorted(dists), key=lambda k: (dists[k], k))
+        assert r["route_id"] == best
+        assert abs(r["route_dist_m"] - dists[best]) < 1e-6
+        assert r["route_dist_m"] <= 100_000.0
+    # completeness: every event within range of some route is matched
+    got = {r["event_id"] for r in rows}
+    for eid, row in pdf.iloc[:500].iterrows():
+        dmin = min(
+            float(kernels.point_segments_dist_m(
+                np.asarray([row["lon"]]), np.asarray([row["lat"]]), c)[0])
+            for c in segs.values()
+        )
+        assert (eid in got) == (dmin <= 100_000.0), eid
