@@ -230,10 +230,57 @@ def spatial_join_documents(
     loose: bool = False,
 ) -> DataFrame:
     """Flagship: documents_spans ⋈ polygons.  Output keeps the untouched
-    ``spans`` array per matched row plus (doc_id, polygon_id)."""
-    return spatial_join_broadcast(
-        extract_geo_points(docs), polygon_rows, predicate, res, loose, id_col="doc_id"
+    ``spans`` array per matched row plus (doc_id, polygon_id).
+
+    Duplicate-pair note (SURVEY.md §4.4): cover cells PARTITION space and
+    are deduped per polygon, so a single geo span yields at most one
+    candidate per polygon — duplicates arise ONLY from docs with ≥2 geo
+    spans.  The join therefore splits: single-geo docs (the vast
+    majority) take a completely shuffle-free path (scan → encode →
+    broadcast join → refine); only the multi-geo slice pays the
+    ``dropDuplicates`` exchange — and that exchange carries the full
+    spans payload for a few percent of rows instead of all of them.
+    """
+    spark = docs.sparkSession
+    ps = PolygonSet.from_rows(polygon_rows)
+    cover_df, res_used = ps.cover_frame(spark, res)
+    cover_b = F.broadcast(cover_df)
+    refine = None if loose else ps.refine_udf(predicate)
+
+    g = docs.withColumn(
+        "_geo_wkts", F.expr("transform(filter(spans, s -> s.kind = 'geo'), s -> s.text)")
     )
+
+    def finish(pts: DataFrame) -> DataFrame:
+        lon = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 1)
+        lat = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 2)
+        pts = pts.withColumn("lon", F.when(lon != "", lon.cast("double"))).withColumn(
+            "lat", F.when(lat != "", lat.cast("double"))
+        )
+        pts = pts.filter(
+            F.col("lon").isNotNull()
+            & F.col("lat").isNotNull()
+            & (F.col("lon") >= -180.0)
+            & (F.col("lon") <= 180.0)
+            & (F.col("lat") >= -90.0)
+            & (F.col("lat") <= 90.0)
+        ).drop("_geo_wkt")
+        pts = pts.withColumn("cell", cell_encode_udf(res_used)(F.col("lon"), F.col("lat")))
+        joined = pts.join(cover_b, "cell", "inner")
+        if refine is not None:
+            joined = joined.filter(refine(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+        return joined
+
+    single = g.filter(F.size("_geo_wkts") == 1).withColumn(
+        "geo_pos", F.lit(0)
+    ).withColumn("_geo_wkt", F.expr("get(_geo_wkts, 0)")).drop("_geo_wkts")
+    multi = g.filter(F.size("_geo_wkts") >= 2).select(
+        "*", F.posexplode("_geo_wkts").alias("geo_pos", "_geo_wkt")
+    ).drop("_geo_wkts")
+
+    out_single = finish(single)  # (doc_id, polygon_id) unique by construction
+    out_multi = finish(multi).dropDuplicates(["doc_id", "polygon_id"])
+    return out_single.unionByName(out_multi)
 
 
 def dwithin_join_broadcast(
@@ -313,12 +360,16 @@ def spatial_join_grid(
     r = right.withColumn("cell", lcell(F.col("lon"), F.col("lat")))
 
     if dist_m is not None:
-        # ring radius in cells that guarantees completeness at this res:
-        # worst-case cell height is 180/2^res degrees; lon shrink is handled
-        # by the per-row ring explode in cell space (constant k at the
-        # equatorward edge; conservative +1)
+        # ring radii in CELLS that guarantee completeness at this res:
+        # lat cells are 180/2^res deg high → ky = ceil(d_deg / cell_deg);
+        # lon cells are 2× wider in degrees but shrink by cos(lat) in
+        # meters → kx = ceil(d_deg / (2·cell_deg·cos_band)) with cos taken
+        # at the poleward edge of the ky band (covers the worst partner
+        # latitude).  Tight: a 50 km join at res 8 emits a 3×3 ring at the
+        # equator, not 5×5.
         cell_deg = 180.0 / (1 << res)
-        k = int(np.ceil(np.degrees(dist_m / kernels.EARTH_RADIUS_M) / cell_deg)) + 1
+        d_deg = float(np.degrees(dist_m / kernels.EARTH_RADIUS_M))
+        ky = int(np.ceil(d_deg / cell_deg))
 
         @F.pandas_udf("array<long>")
         def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -326,18 +377,31 @@ def spatial_join_grid(
             lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
             n = np.int64(1) << np.int64(res)
             x, y = cells.lonlat_to_xy(lons, lats, res)
-            # per-point lon ring width widens with |lat|
-            coslat = np.maximum(np.cos(np.radians(lats)), 1e-6)
-            kx = np.minimum(np.ceil(k / coslat).astype(np.int64), n // 2)
-            out = []
-            for xi, yi, kxi in zip(x, y, kx):
-                if xi < 0:
-                    out.append([])
+            band = np.minimum(np.abs(lats) + d_deg, 89.999)
+            cos_band = np.maximum(np.cos(np.radians(band)), 1e-6)
+            kx = np.minimum(
+                np.ceil(d_deg / (2.0 * cell_deg * cos_band)).astype(np.int64), n // 2
+            )
+            out: list = [None] * len(lons)
+            dys = np.arange(-ky, ky + 1, dtype=np.int64)
+            # group rows by kx (few distinct values) → fully vectorized
+            # meshgrid per group, no per-row numpy calls
+            for kxv in np.unique(kx):
+                m = (kx == kxv) & (x >= 0)
+                if not m.any():
                     continue
-                gx = np.mod(np.arange(xi - kxi, xi + kxi + 1), n)
-                gy = np.arange(max(yi - k, 0), min(yi + k, n - 1) + 1)
-                mx, my = np.meshgrid(gx, gy)
-                out.append(cells.interleave(mx.ravel(), my.ravel()).tolist())
+                dxs = np.arange(-kxv, kxv + 1, dtype=np.int64)
+                gx = np.mod(x[m][:, None, None] + dxs[None, :, None], n)
+                gy = np.clip(y[m][:, None, None] + dys[None, None, :], 0, n - 1)
+                flat = cells.interleave(
+                    np.broadcast_to(gx, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
+                    np.broadcast_to(gy, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
+                ).reshape(int(m.sum()), -1)
+                for row_i, ring in zip(np.nonzero(m)[0], flat):
+                    out[row_i] = np.unique(ring)  # clip can duplicate at poles
+            for i in range(len(out)):
+                if out[i] is None:
+                    out[i] = np.empty(0, dtype=np.int64)
             return pd.Series(out)
 
         l = l.withColumn("cell", F.explode(ring_cells(F.col("lon"), F.col("lat"))))

@@ -52,47 +52,71 @@ def with_tile_xy(df: DataFrame, zoom: int, lon="lon", lat="lat") -> DataFrame:
     return d.withColumn("tile_x", tx("tile_cell")).withColumn("tile_y", ty("tile_cell"))
 
 
-def assign_tiles(df: DataFrame, zooms: list[int], lon="lon", lat="lat") -> DataFrame:
+def _tile_xy_expr(col: str, z: int, span: float, offset: float) -> F.Column:
+    """floor((v+offset)/span * 2^z) clamped to [0, 2^z-1] — identical to
+    cells.lonlat_to_xy, but pure JVM (whole-stage codegen)."""
+    n = 1 << z
+    raw = F.floor((F.col(col) + F.lit(offset)) / F.lit(span) * F.lit(n))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def interleave_udf():
+    """Vectorized (x, y) → Morton cell id (the only non-JVM step)."""
+
+    @F.pandas_udf("long")
+    def inter(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(cells.interleave(x.to_numpy(np.int64), y.to_numpy(np.int64)))
+
+    return inter
+
+
+def quadkey_udf(zoom_col: str = "zoom"):
+    @F.pandas_udf("string")
+    def qk(cell: pd.Series, zoom: pd.Series) -> pd.Series:
+        c = cell.to_numpy(np.int64)
+        z = zoom.to_numpy(np.int64)
+        out = np.empty(len(c), dtype=object)
+        for zz in np.unique(z):
+            m = z == zz
+            out[m] = cells.quadkey(c[m], int(zz))
+        return pd.Series(out, dtype=object)
+
+    return qk
+
+
+def assign_tiles(
+    df: DataFrame, zooms: list[int], lon="lon", lat="lat", with_quadkey: bool = True,
+    with_cell: bool = True,
+) -> DataFrame:
     """One output row per (input row × zoom): columns zoom, tile_cell,
-    tile_x, tile_y, quadkey.  Judge-checked output shape (SURVEY.md §2.8).
+    tile_x, tile_y [, quadkey].  Judge-checked output shape (SURVEY.md
+    §2.8).
 
-    The per-zoom cells are computed in ONE Arrow UDF pass returning an
-    array (no repeated scans), then exploded — narrow, shuffle-free.
-    """
-    zs = sorted(zooms)
-
-    @F.pandas_udf("array<struct<zoom:int,tile_cell:long,tile_x:long,tile_y:long,qk:string>>")
-    def multi(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
-        lons = lon_s.to_numpy(np.float64, na_value=np.nan)
-        lats = lat_s.to_numpy(np.float64, na_value=np.nan)
-        per_zoom = []
-        for z in zs:
-            c = cells.encode(lons, lats, z)
-            x, y = cells.deinterleave(np.where(c < 0, 0, c))
-            qk = cells.quadkey(np.where(c < 0, 0, c), z)
-            per_zoom.append((z, c, x, y, qk))
-        out = []
-        for i in range(len(lons)):
-            row = []
-            for z, c, x, y, qk in per_zoom:
-                if c[i] >= 0:
-                    row.append(
-                        {"zoom": z, "tile_cell": int(c[i]), "tile_x": int(x[i]),
-                         "tile_y": int(y[i]), "qk": qk[i]}
-                    )
-            out.append(row)
-        return pd.Series(out)
-
-    d = df.withColumn("_tiles", multi(F.col(lon), F.col(lat)))
-    d = d.select("*", F.explode("_tiles").alias("_t")).drop("_tiles")
-    return (
+    The multi-zoom explode and the tile_x/tile_y floor math are pure JVM
+    (whole-stage codegen over a literal array — no shuffle, no Python);
+    only the Morton interleave (and optional quadkey string) drop to
+    vectorized Arrow UDFs."""
+    structs = [
+        F.struct(
+            F.lit(z).cast("int").alias("zoom"),
+            _tile_xy_expr(lon, z, 360.0, 180.0).alias("tile_x"),
+            _tile_xy_expr(lat, z, 180.0, 90.0).alias("tile_y"),
+        )
+        for z in sorted(zooms)
+    ]
+    d = df.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+    d = d.select("*", F.explode(F.array(*structs)).alias("_t"))
+    d = (
         d.withColumn("zoom", F.col("_t.zoom"))
-        .withColumn("tile_cell", F.col("_t.tile_cell"))
         .withColumn("tile_x", F.col("_t.tile_x"))
         .withColumn("tile_y", F.col("_t.tile_y"))
-        .withColumn("quadkey", F.col("_t.qk"))
         .drop("_t")
     )
+    if with_cell or with_quadkey:
+        d = d.withColumn("tile_cell", interleave_udf()(F.col("tile_x"), F.col("tile_y")))
+    if with_quadkey:
+        d = d.withColumn("quadkey", quadkey_udf()(F.col("tile_cell"), F.col("zoom")))
+    return d
 
 
 def tile_pyramid(
@@ -101,11 +125,14 @@ def tile_pyramid(
     """Density pyramid: (zoom, tile_x, tile_y) → count (+ weighted sum).
     Partial aggregation is map-side (Spark default) — the DensityScan
     partial/final shape."""
-    t = assign_tiles(df, zooms, lon, lat)
+    t = assign_tiles(df, zooms, lon, lat, with_quadkey=False, with_cell=False)
     aggs = [F.count(F.lit(1)).alias("n")]
     if weight is not None:
         aggs.append(F.sum(weight).alias("weight_sum"))
-    return t.groupBy("zoom", "tile_cell", "tile_x", "tile_y").agg(*aggs)
+    out = t.groupBy("zoom", "tile_x", "tile_y").agg(*aggs)
+    # interleave AFTER the aggregation — the UDF touches tile rows, not
+    # point rows (tiles ≪ points at every real zoom)
+    return out.withColumn("tile_cell", interleave_udf()(F.col("tile_x"), F.col("tile_y")))
 
 
 def rollup_pyramid(base: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
