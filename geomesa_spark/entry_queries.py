@@ -359,6 +359,19 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join: each click matched to the user's most recent prior (or
+    same-instant) purchase — engine path is the scalable union+window
+    operator (one shuffle, no range explosion)."""
+    from .operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof.asof_join(clicks, purchases, on="ts", by="user_id")
+    return out.select("user_id", "event_id", F.col("asof_event_id"))
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (engine: Arrow UDF stopword voting; oracle:
     the same argmax spelled in SQL — first-language-wins tie semantics)."""
@@ -464,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "text_quality": q_text_quality,
+        "asof_click_purchase": q_asof_click_purchase,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -643,6 +657,24 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id ASC) AS rank
               FROM s)
             SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM r WHERE rank <= 5
+        """,
+        "asof_click_purchase": """
+            WITH l AS (
+              SELECT user_id, ts, event_id AS lid, CAST(NULL AS BIGINT) AS rid, 1 AS side
+              FROM events WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, ts, CAST(NULL AS BIGINT) AS lid, event_id AS rid, 0 AS side
+              FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            f AS (
+              SELECT user_id, lid, side,
+                     LAST_VALUE(rid IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, side ASC, rid ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_rid
+              FROM u)
+            SELECT user_id, lid AS event_id, asof_rid AS asof_event_id
+            FROM f WHERE side = 1
         """,
         "lang_id": """
             WITH toks AS (

