@@ -1,0 +1,133 @@
+"""Transparent SQL spatial pushdown — the Catalyst-rule analogue.
+
+GeoMesa injects its index into arbitrary user SQL with a Catalyst rule
+that pattern-matches ``Filter(st_contains(literal, geom), relation)`` and
+folds the predicate into the relation scan (public tree:
+geomesa-spark-sql/src/main/scala/org/apache/spark/sql/SQLRules.scala#
+SpatialOptimizationsRule; mount empty at survey time — SURVEY.md §0).
+
+Per SURVEY.md §4.5, v1 does this in the Python planner instead of a JVM
+extension: :class:`SqlEngine` registers cell-partitioned tables, scans
+user SQL for ``st_contains/st_intersects/st_within/st_dwithin``
+predicates over a registered table with a LITERAL geometry, computes the
+cell cover, and re-points the table's temp view at a bucket-pruned scan.
+The ORIGINAL predicate stays in the query (exact refine) — the rewrite
+only prunes, so it is always sound: a miss in pattern matching degrades
+to a full scan, never to a wrong answer.  Same contract as the
+reference's rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import cells
+from ..geo import wkt
+from . import planner
+
+_PRED_RE = re.compile(
+    r"st_(contains|intersects|within)\s*\(\s*st_geomFromWKT\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+_POINT_LIT_RE = re.compile(
+    r"st_point\s*\(\s*([-+0-9.eE]+)D?\s*,\s*([-+0-9.eE]+)D?\s*\)", re.IGNORECASE
+)
+_NUM_TAIL_RE = re.compile(r",\s*([-+0-9.eE]+)D?\s*$")
+
+
+def _find_dwithin(query: str) -> list[tuple[float, float, float]]:
+    """All st_dwithin(...) calls whose args contain a literal st_point and
+    a trailing numeric radius — either argument order."""
+    out = []
+    for m in re.finditer(r"st_dwithin\s*\(", query, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(query) and depth:
+            if query[i] == "(":
+                depth += 1
+            elif query[i] == ")":
+                depth -= 1
+            i += 1
+        args = query[m.end() : i - 1]
+        pt = _POINT_LIT_RE.search(args)
+        rad = _NUM_TAIL_RE.search(args.rstrip())
+        if pt and rad:
+            out.append((float(pt.group(1)), float(pt.group(2)), float(rad.group(1))))
+    return out
+
+
+class SqlEngine:
+    """spark.sql with spatial-predicate pushdown over registered tables."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, dict] = {}
+        from ..functions import st_funcs
+
+        st_funcs.register(spark)
+
+    def register_parquet(
+        self, name: str, path: str, res: int = 10, bucket_res: int = planner.BUCKET_RES
+    ) -> None:
+        """Register a cell-partitioned layout (planner.write_partitioned
+        output) as a SQL table eligible for pushdown."""
+        self._tables[name] = dict(path=path, res=res, bucket_res=bucket_res)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def _covers_from_query(self, query: str, bucket_res: int) -> np.ndarray | None:
+        buckets = []
+        for _, wkt_text in _PRED_RE.findall(query):
+            g = wkt.parse_wkt(wkt_text)
+            if g is None:
+                return None  # unparseable literal → no pruning (sound)
+            parts = wkt.antimeridian_split(g) if g.kind == wkt.WKB_POLYGON else [g]
+            for p in parts:
+                if p.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+                    c, r = cells.cover_polygon(p.rings(), bucket_res, 4096)
+                else:
+                    lon0, lat0, lon1, lat1 = planner.extract_bounds(wkt.to_wkt(p))
+                    c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, bucket_res, 4096)
+                buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
+        for lon, lat, meters in _find_dwithin(query):
+            c, r = cells.cover_point_radius(float(lon), float(lat), float(meters), bucket_res)
+            buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
+        if not buckets:
+            return None
+        # multiple predicates: union is sound for OR; for AND it over-scans
+        # but stays correct (the kept predicates refine)
+        return np.unique(np.concatenate(buckets))
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL; registered tables referenced together with a literal
+        spatial predicate get their temp view re-pointed at a pruned scan
+        for the duration of this query."""
+        pruned = []
+        for name, meta in self._tables.items():
+            if not re.search(rf"\b{re.escape(name)}\b", query):
+                continue
+            cover = self._covers_from_query(query, meta["bucket_res"])
+            if cover is None:
+                continue
+            df = self.spark.read.parquet(meta["path"]).filter(
+                F.col("cell_bucket").isin([int(b) for b in cover])
+            )
+            df.createOrReplaceTempView(name)
+            pruned.append(name)
+        try:
+            return self.spark.sql(query)
+        finally:
+            # restore full views so later queries see the whole table
+            for name in pruned:
+                self.spark.read.parquet(self._tables[name]["path"]).createOrReplaceTempView(name)
+
+    def explain_pruning(self, query: str) -> dict[str, int]:
+        """How many buckets each registered table would scan (diagnostics)."""
+        out = {}
+        for name, meta in self._tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", query):
+                cover = self._covers_from_query(query, meta["bucket_res"])
+                out[name] = -1 if cover is None else len(cover)
+        return out
