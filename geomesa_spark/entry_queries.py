@@ -529,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT LEAST(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63) AS tile_x,
                    LEAST(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 63) AS tile_y,
-                   count(*) AS n, SUM(vc) AS value_cents
+                   count(*) AS n, CAST(SUM(vc) AS BIGINT) AS value_cents
             FROM pts GROUP BY 1, 2
         """,
         "knn_centers": f"""
@@ -544,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY dist_m ASC, event_id ASC) AS rank
               FROM d)
-            SELECT query_id, CAST(rank AS INT) AS rank, event_id
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, event_id
             FROM r WHERE rank <= {KNN_K}
         """,
         "temporal_filter": """
@@ -556,9 +556,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_mod": "SELECT event_id FROM events WHERE event_id % 20 = 0",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-                   SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -569,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
         """,
         "histogram_values": """
@@ -580,12 +580,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
                    o_orderpriority,
                    count(*) AS n,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS price_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
             FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
         """,
         "join_customer_orders": """
             SELECT n_name, count(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -608,7 +608,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE a IS NOT NULL
         """,
         "sessionize": """
-            SELECT user_id, SUM(new_sess) AS n_sessions FROM (
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions FROM (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
                                OR epoch(ts) - epoch(prev_ts) > 1800

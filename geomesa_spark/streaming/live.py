@@ -38,19 +38,36 @@ UPSERT_OUTPUT_SCHEMA = "feature_id string, ts timestamp, lon double, lat double,
 UPSERT_STATE_SCHEMA = "ts long, lon double, lat double"
 
 
-def changelog_upsert(changes: DataFrame, ttl_seconds: int = 3600) -> DataFrame:
+def changelog_upsert(
+    changes: DataFrame, ttl_seconds: int | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
     """changes(feature_id, ts, lon, lat, op in {insert,update,delete}) →
-    stream of current live versions (update mode), with event-time TTL.
+    stream of current live versions (update mode).
 
-    State per feature id holds the newest-by-event-time version; a
-    ``delete`` clears it; state times out after ``ttl_seconds`` of
-    processing time without updates (age-off)."""
+    State per feature id holds the newest-by-EVENT-time version; a
+    ``delete`` clears it.  With ``ttl_seconds`` set, a feature expires
+    ``ttl_seconds`` after its event time via EVENT-time timeouts behind a
+    watermark — GeoMesa's age-off done event-time-correct (the reference
+    cache is wall-clock last-write-wins; documented upgrade, SURVEY.md
+    §2.9).  Event-time timeouts also terminate cleanly under
+    ``availableNow`` (processing-time timeouts would schedule empty
+    micro-batches forever)."""
+    use_ttl = ttl_seconds is not None
 
     def update_fn(key, pdfs, state: GroupState):
         (fid,) = key
         if state.hasTimedOut:
             state.remove()
-            return iter(())
+            yield pd.DataFrame(
+                {
+                    "feature_id": [fid],
+                    "ts": [pd.Timestamp(0, unit="ms")],
+                    "lon": [None],
+                    "lat": [None],
+                    "op": ["expire"],
+                }
+            )
+            return
         newest = None
         if state.exists:
             ts_ms, lon, lat = state.get
@@ -81,7 +98,8 @@ def changelog_upsert(changes: DataFrame, ttl_seconds: int = 3600) -> DataFrame:
                 )
             return
         state.update((newest[0], newest[1], newest[2]))
-        state.setTimeoutDuration(ttl_seconds * 1000)
+        if use_ttl:
+            state.setTimeoutTimestamp(newest[0] + int(ttl_seconds) * 1000)
         yield pd.DataFrame(
             {
                 "feature_id": [fid],
@@ -92,12 +110,15 @@ def changelog_upsert(changes: DataFrame, ttl_seconds: int = 3600) -> DataFrame:
             }
         )
 
-    return changes.groupBy("feature_id").applyInPandasWithState(
+    src = changes.withWatermark("ts", watermark) if use_ttl else changes
+    return src.groupBy("feature_id").applyInPandasWithState(
         update_fn,
         outputStructType=UPSERT_OUTPUT_SCHEMA,
         stateStructType=UPSERT_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout if use_ttl else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

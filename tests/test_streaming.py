@@ -54,6 +54,39 @@ def test_changelog_upsert_latest_wins(spark, change_dir):
     assert "f2" not in live_rows.index
 
 
+def test_changelog_upsert_event_time_ttl(spark, tmp_path):
+    """Age-off: a feature expires ttl seconds after its event time, fired
+    once the watermark (driven by later batches) passes the deadline."""
+    d = tmp_path / "ttl"
+    d.mkdir()
+    schema = "feature_id string, ts timestamp, lon double, lat double, op string"
+
+    def write(name, fid, ts):
+        pdf = pd.DataFrame(
+            {"feature_id": [fid], "ts": [pd.Timestamp(ts)], "lon": [1.0], "lat": [1.0],
+             "op": ["insert"]}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / name))
+
+    write("f1", "old", "2026-01-01 00:00:00")
+    write("f2", "mid", "2026-01-01 02:00:00")
+    write("f3", "new", "2026-01-01 04:00:00")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = live.run_batches(
+        live.changelog_upsert(stream, ttl_seconds=60, watermark="1 minute"),
+        "ttl_upserts", spark, "update",
+    )
+    pdf = out.toPandas()
+    expired = set(pdf[pdf["op"] == "expire"]["feature_id"])
+    upserted = set(pdf[pdf["op"] == "upsert"]["feature_id"])
+    assert "old" in expired  # watermark moved hours past old's deadline
+    assert {"old", "mid", "new"} <= upserted
+
+
 def test_live_cell_counts_windows(spark, tmp_path):
     pdf = pd.DataFrame(
         {
@@ -67,11 +100,22 @@ def test_live_cell_counts_windows(spark, tmp_path):
     p = str(tmp_path / "pts")
     spark.createDataFrame(pdf).write.parquet(p)
     stream = _read_stream(spark, p, "ts timestamp, lon double, lat double")
-    out = live.run_batches(live.live_cell_counts(stream, res=6), "cellcounts", spark, "append")
+    # append mode emits a window only once the watermark passes its end:
+    # max event time 00:07 − 1 min watermark = 00:06 closes [00:00, 00:05)
+    # but not [00:05, 00:10) — exactly one closed window with both points
+    out = live.run_batches(
+        live.live_cell_counts(stream, res=6, watermark="1 minute"), "cellcounts", spark, "append"
+    )
     rows = out.orderBy("window_start").collect()
-    assert len(rows) == 2  # two 5-minute windows
-    assert rows[0]["n"] == 2 and rows[1]["n"] == 1
-    assert rows[0]["cell"] == rows[1]["cell"]
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2
+    # update mode shows the still-open window too (running counts)
+    out2 = live.run_batches(
+        live.live_cell_counts(stream, res=6, watermark="1 minute"), "cellcounts_u", spark, "update"
+    )
+    rows2 = out2.orderBy("window_start").collect()
+    assert len(rows2) == 2 and {r["n"] for r in rows2} == {1, 2}
+    assert rows2[0]["cell"] == rows2[1]["cell"]
 
 
 def test_stream_static_spatial_join(spark, tmp_path):

@@ -30,6 +30,11 @@ from geomesa_spark.operators import spatial_join as sj, tiling
 
 path = %(path)r
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+# the corpus is a single parquet file; split it at row-group granularity so
+# the scan parallelism follows the core count (a real 100TB table has
+# thousands of files — this reproduces that, not a single-file bottleneck)
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+spark.conf.set("spark.sql.files.openCostInBytes", "0")
 entry_mod._ship_package(spark)
 docs = spark.read.parquet(path)
 n = docs.count()
