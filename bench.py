@@ -44,9 +44,10 @@ def main() -> None:
 
     docs = corpus.load_documents_spans(spark, sf_dir)
     n_docs = docs.count()  # warms the file listing too
-    # spin up JVM codegen + Arrow Python workers outside the clock
+    # spin up JVM codegen + ALL Arrow Python workers outside the clock
+    # (sample touches every input split; limit would warm a single worker)
     sj.spatial_join_documents(
-        docs.limit(5000), corpus.fixture_polygons(), "intersects"
+        docs.sample(0.05, seed=1), corpus.fixture_polygons(), "intersects"
     ).count()
 
     timings: dict[str, float] = {}

@@ -22,6 +22,12 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # one BLAS/OpenMP thread per Python worker — with N workers per host,
+    # threaded numpy oversubscribes N× and collapses under contention
+    # (measured: 3× slowdown at 32 workers).  Set in this process so local
+    # workers inherit it, and in executorEnv for real clusters.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -34,6 +40,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
