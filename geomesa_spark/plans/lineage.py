@@ -89,7 +89,8 @@ def run_partitioned_job(
         pdf = pdf.sort_values("cell", kind="mergesort").reset_index(drop=True)
         path = os.path.join(data_dir, f"part-{int(bucket):06d}.parquet")
         tmp = path + ".inprogress"
-        pdf.to_parquet(tmp, index=False)
+        # μs timestamps: Spark cannot read pandas' default TIMESTAMP(NANOS)
+        pdf.to_parquet(tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
         os.replace(tmp, path)
         h = hashlib.sha256(
             pd.util.hash_pandas_object(pdf[["cell"]], index=False).values.tobytes()

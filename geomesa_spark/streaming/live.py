@@ -158,6 +158,56 @@ def stream_static_spatial_join(
     return joined.filter(refine(F.col("lon"), F.col("lat"), F.col("polygon_id")))
 
 
+def session_windows(
+    points: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes",
+    key: str = "track_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Track sessionization with session windows (gap-based) — the
+    streaming counterpart of the batch lag/cumsum sessionizer."""
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_points",
+        )
+    )
+
+
+def persist_stream(
+    stream_df: DataFrame, job_dir: str, checkpoint_dir: str, res: int = 10,
+):
+    """Lambda-store persistence tier: every micro-batch of the transient
+    (Kafka/live) stream is merged into the cell-partitioned long-term
+    layout through the lineage writer — exactly-once per batch via
+    ``foreachBatch`` + the manifest commit protocol (the reference's
+    LambdaDataStore persistence scheduler, public tree:
+    geomesa-lambda/.../LambdaDataStore.scala; mount empty at survey time).
+    Returns the StreamingQuery handle."""
+    from ..plans import lineage, planner
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        d = batch_df.withColumn(
+            "cell", cell_encode_udf(res)(F.col("lon"), F.col("lat"))
+        ).withColumn(
+            "cell_bucket",
+            F.shiftrightunsigned(F.col("cell"), 2 * (res - planner.BUCKET_RES)),
+        )
+        lineage.run_partitioned_job(d, job_dir, seq=epoch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_batches(stream_df: DataFrame, name: str, spark, output_mode: str = "append"):
     """Drive a streaming query to completion against the currently
     available data (memory sink) and return the result DataFrame."""

@@ -139,3 +139,55 @@ def test_stream_static_spatial_join(spark, tmp_path):
     )
     got = {(r["event_id"], r["polygon_id"]) for r in out.collect()}
     assert got == {("e1", "P1"), ("e2", "P5")}
+
+
+def test_session_windows(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "track_id": ["t1"] * 4 + ["t2"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:05:00",  # session 1
+                 "2026-01-01 02:00:00", "2026-01-01 02:10:00",  # session 2
+                 "2026-01-01 00:00:00"]
+            ),
+            "lon": [1.0] * 5,
+            "lat": [1.0] * 5,
+        }
+    )
+    p = str(tmp_path / "sess")
+    spark.createDataFrame(pdf).write.parquet(p)
+    stream = _read_stream(spark, p, "track_id string, ts timestamp, lon double, lat double")
+    out = live.run_batches(
+        live.session_windows(stream, gap="30 minutes", watermark="1 minute"),
+        "sessions", spark, "append",
+    )
+    rows = out.orderBy("track_id", "session_start").collect()
+    # watermark (max ts 02:10 - 1min) closes t1's first session and t2's;
+    # t1's second session [02:00, 02:40) stays open in append mode
+    got = {(r["track_id"], r["n_points"]) for r in rows}
+    assert ("t1", 2) in got and ("t2", 1) in got
+
+
+def test_persist_stream_lambda_tier(spark, tmp_path):
+    from geomesa_spark.plans import lineage
+
+    pdf = pd.DataFrame(
+        {
+            "feature_id": [f"f{i}" for i in range(50)],
+            "ts": pd.to_datetime(["2026-01-01"] * 50),
+            "lon": np.linspace(-170, 170, 50),
+            "lat": np.linspace(-80, 80, 50),
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = _read_stream(
+        spark, src, "feature_id string, ts timestamp, lon double, lat double"
+    )
+    job = str(tmp_path / "job")
+    q = live.persist_stream(stream, job, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = lineage.read_job_output(spark, job)
+    assert out.count() == 50
+    m = lineage.job_metrics(job)
+    assert m["n_rows"].sum() == 50 and (m["cell_min"] <= m["cell_max"]).all()
