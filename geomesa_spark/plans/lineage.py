@@ -39,7 +39,12 @@ def _snapshot_paths(job_dir: str):
     )
 
 
-def completed_buckets(job_dir: str) -> set[int]:
+def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
+    """Buckets already committed.  ``epoch=None`` (batch job resume) counts a
+    bucket done if ANY manifest committed it; with an ``epoch`` (streaming
+    micro-batch) only manifests of the SAME epoch count — later epochs must
+    append to a bucket, never be skipped because an earlier epoch touched it
+    (each epoch carries distinct rows)."""
     snap_dir, man_dir, _ = _snapshot_paths(job_dir)
     if not os.path.isdir(snap_dir):
         return set()
@@ -52,7 +57,12 @@ def completed_buckets(job_dir: str) -> set[int]:
     for m in snap["manifests"]:
         mp = os.path.join(man_dir, m)
         if os.path.exists(mp):
-            done.update(int(b) for b in pd.read_parquet(mp)["cell_bucket"])
+            mdf = pd.read_parquet(mp)
+            if epoch is not None:
+                if "epoch" not in mdf.columns:
+                    continue
+                mdf = mdf[mdf["epoch"] == epoch]
+            done.update(int(b) for b in mdf["cell_bucket"])
     return done
 
 
@@ -60,6 +70,7 @@ def run_partitioned_job(
     points_with_bucket: DataFrame,
     job_dir: str,
     seq: int | None = None,
+    epoch: int | None = None,
 ) -> dict:
     """Execute (or resume) a bucket-partitioned materialization.
 
@@ -69,25 +80,37 @@ def run_partitioned_job(
     commit makes the set of manifests current.  Killing the job mid-way
     loses at most in-flight buckets; finished buckets are skipped on the
     next run (anti-join on the completed set).
+
+    Batch mode (``epoch=None``): one logical dataset; resume skips every
+    bucket any prior run committed, data files are ``part-<bucket>.parquet``.
+    Streaming mode (``epoch`` set by foreachBatch): each epoch's rows APPEND
+    as ``part-<bucket>-<epoch>.parquet``; only buckets committed for the
+    same epoch are skipped (same-epoch replay after a crash stays
+    exactly-once, cross-epoch data is never dropped).
     """
     spark = points_with_bucket.sparkSession
     snap_dir, man_dir, data_dir = _snapshot_paths(job_dir)
     for d in (snap_dir, man_dir, data_dir):
         os.makedirs(d, exist_ok=True)
 
-    done = completed_buckets(job_dir)
+    done = completed_buckets(job_dir, epoch=epoch)
     todo_df = points_with_bucket
     if done:
         todo_df = todo_df.filter(~F.col("cell_bucket").isin(sorted(done)))
 
     # distributed per-bucket write: one Arrow batch job per bucket group;
     # each group writes its own data file + returns its manifest row
-    out_schema = "cell_bucket long, n_rows long, cell_min long, cell_max long, checksum string, path string"
+    out_schema = (
+        "cell_bucket long, epoch long, n_rows long, cell_min long, cell_max long, "
+        "checksum string, path string"
+    )
+    epoch_key = -1 if epoch is None else int(epoch)
 
     def write_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (bucket,) = key
         pdf = pdf.sort_values("cell", kind="mergesort").reset_index(drop=True)
-        path = os.path.join(data_dir, f"part-{int(bucket):06d}.parquet")
+        suffix = "" if epoch_key < 0 else f"-{epoch_key:05d}"
+        path = os.path.join(data_dir, f"part-{int(bucket):06d}{suffix}.parquet")
         tmp = path + ".inprogress"
         # μs timestamps: Spark cannot read pandas' default TIMESTAMP(NANOS)
         pdf.to_parquet(tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
@@ -98,6 +121,7 @@ def run_partitioned_job(
         return pd.DataFrame(
             {
                 "cell_bucket": [int(bucket)],
+                "epoch": [epoch_key],
                 "n_rows": [len(pdf)],
                 "cell_min": [int(pdf["cell"].min()) if len(pdf) else -1],
                 "cell_max": [int(pdf["cell"].max()) if len(pdf) else -1],

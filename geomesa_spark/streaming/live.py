@@ -198,7 +198,10 @@ def persist_stream(
             "cell_bucket",
             F.shiftrightunsigned(F.col("cell"), 2 * (res - planner.BUCKET_RES)),
         )
-        lineage.run_partitioned_job(d, job_dir, seq=epoch_id)
+        # epoch=epoch_id: each micro-batch appends per-bucket files; the
+        # completed-set skip applies only within the same epoch, so a bucket
+        # committed by an earlier epoch still receives later epochs' rows
+        lineage.run_partitioned_job(d, job_dir, seq=epoch_id, epoch=epoch_id)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

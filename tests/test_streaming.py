@@ -191,3 +191,39 @@ def test_persist_stream_lambda_tier(spark, tmp_path):
     assert out.count() == 50
     m = lineage.job_metrics(job)
     assert m["n_rows"].sum() == 50 and (m["cell_min"] <= m["cell_max"]).all()
+
+
+def test_persist_stream_multi_epoch_same_bucket(spark, tmp_path):
+    """Regression (round-1 advice): rows from a later epoch landing in a
+    cell_bucket committed by an earlier epoch must APPEND, not be dropped
+    by the resume anti-join."""
+    from geomesa_spark.plans import lineage
+
+    schema = "feature_id string, ts timestamp, lon double, lat double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files → with maxFilesPerTrigger=1 the file source yields two
+    # epochs; identical coordinates → identical cell_buckets across epochs
+    for i in range(2):
+        pdf = pd.DataFrame(
+            {
+                "feature_id": [f"e{i}_f{j}" for j in range(5)],
+                "ts": pd.to_datetime(["2026-01-01"] * 5),
+                "lon": [10.0, 20.0, 30.0, 40.0, 50.0],
+                "lat": [10.0, 20.0, 30.0, 40.0, 50.0],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tmp_path / f"f{i}"))
+        pq = [f for f in os.listdir(str(tmp_path / f"f{i}")) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / f"f{i}"), pq), os.path.join(src, f"file{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    job = str(tmp_path / "job")
+    q = live.persist_stream(stream, job, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = lineage.read_job_output(spark, job)
+    assert out.count() == 10, "later-epoch rows in an already-committed bucket were lost"
+    assert out.select("feature_id").distinct().count() == 10
+    m = lineage.job_metrics(job)
+    assert m["n_rows"].sum() == 10 and set(m["epoch"]) == {0, 1}
