@@ -149,6 +149,40 @@ def q_knn_centers(spark, sf_dir):
     return knn_op.knn_df(pts, queries, res=6, id_col="event_id")
 
 
+def q_xz2_poly_point_join(spark, sf_dir):
+    """XZ2 path: LARGE polygon table (boxes derived from sampled events) ⋈
+    LARGE point table (all event points) on st_intersects.  Box half-sizes
+    end in .005 so no point of the 0.01° synthetic grid can land within
+    the PIP boundary epsilon — interior/exterior calls are float-exact on
+    both engines."""
+    from .operators import xz2
+
+    pts = _event_points(spark, sf_dir)
+    geoms = (
+        pts.filter(
+            (F.col("event_id") % 37 == 0)
+            & (F.col("lat") >= -80.0) & (F.col("lat") <= 80.0)
+            & (F.col("lon") >= -170.0) & (F.col("lon") <= 170.0)
+        )
+        .select(
+            F.col("event_id").alias("geom_event_id"),
+            F.expr(
+                "concat('POLYGON((',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), ', ',"
+                " CAST(lon + 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), ', ',"
+                " CAST(lon + 2.005 AS STRING), ' ', CAST(lat + 1.005 AS STRING), ', ',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat + 1.005 AS STRING), ', ',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), '))')"
+            ).alias("wkt"),
+        )
+    )
+    out = xz2.xz2_join_points(
+        geoms, pts.select(F.col("event_id").alias("point_event_id"), "lon", "lat"),
+        predicate="intersects",
+    )
+    return out.select("point_event_id", "geom_event_id")
+
+
 def q_flagship_spans_join(spark, sf_dir):
     """Rows-only (interleaved-span corpus is not a driver view): the
     flagship documents_spans ⋈ fixture-polygons join, all 12 polygons."""
@@ -462,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_counts": q_tile_pyramid_counts,
         "density_grid": q_density_grid,
         "knn_centers": q_knn_centers,
+        "xz2_poly_point_join": q_xz2_poly_point_join,
         "flagship_spans_join": q_flagship_spans_join,
         "temporal_filter": q_temporal_filter,
         "sample_mod": q_sample_mod,
@@ -546,6 +581,19 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT query_id, CAST(rank AS BIGINT) AS rank, event_id
             FROM r WHERE rank <= {KNN_K}
+        """,
+        "xz2_poly_point_join": f"""
+            WITH {_pts_cte()},
+            g AS (
+              SELECT event_id AS geom_event_id, lon AS glon, lat AS glat
+              FROM pts
+              WHERE event_id % 37 = 0
+                AND lat >= -80.0 AND lat <= 80.0
+                AND lon >= -170.0 AND lon <= 170.0)
+            SELECT p.event_id AS point_event_id, g.geom_event_id
+            FROM pts p JOIN g
+              ON p.lon >= g.glon - 2.005 AND p.lon <= g.glon + 2.005
+             AND p.lat >= g.glat - 1.005 AND p.lat <= g.glat + 1.005
         """,
         "temporal_filter": """
             SELECT event_id, event_type FROM events

@@ -1,0 +1,369 @@
+"""XZ2-style indexing of NON-POINT geometries (polygons / lines).
+
+GeoMesa keys extended (non-point) objects with the XZ2 curve: each
+geometry gets ONE key at the finest quadtree level whose "enlarged cell"
+(a cell doubled in each dimension) contains the geometry's bbox, and a
+query enumerates ranges at every level (public tree:
+``geomesa-z3/.../curve/XZ2SFC.scala``,
+``geomesa-index-api/.../index/z2/XZ2Index*`` — mount empty at survey
+time, SURVEY.md §0).
+
+Spark-first restatement — the multi-level curve becomes a composite
+equi-join key:
+
+- a geometry keys at its **natural level** ``ℓ`` — the finest level with
+  cell width ≥ bbox width and cell height ≥ bbox height, so the bbox
+  spans at most 2×2 cells — and emits the ≤4 distinct cells its bbox
+  corners fall in (≤8 after antimeridian split, all coerced to one
+  common level).  The union of those cells covers the bbox, hence the
+  geometry; this is the "enlarged cell" made join-friendly.
+- a point probes with its single ancestor cell at each level PRESENT in
+  the geometry table (collected driver-side — tiny distinct over int);
+  for a table of similar-sized features that is 1–2 levels, not
+  ``max_res`` levels.
+- the join on ``(xz_level, xz_cell)`` is *complete* (covers contain
+  their geometries) and **pair-unique by construction**: one level per
+  geometry, distinct cells at that level, one point-ancestor per level —
+  so no dedupe shuffle exists, unlike a naive explode-to-cover join.
+
+Scale notes (100 TB): geometry encoding is a one-pass Arrow-batched UDF
+(WKT parse is inherently per row — it is the ingest cost, paid once if
+you :func:`write_partitioned_geoms`); the point side's per-level
+ancestors are pure codegen'd JVM (shift of the max-res cell); the join
+shuffles on a composite int key with AQE skew splitting; the exact
+refine parses each DISTINCT geometry once per Arrow batch and runs the
+vectorized numpy point-in-polygon kernel over that geometry's whole
+candidate group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import cells
+from ..geo import kernels, wkt
+from .spatial_join import cell_expr
+
+#: default finest level for geometry keys.  12 → cells ~0.09° (~10 km);
+#: features smaller than a cell at 12 key there, larger features key at
+#: coarser levels automatically.
+DEFAULT_MAX_RES = 12
+
+KEYS_TYPE = "array<struct<xz_level:int,xz_cell:long>>"
+
+
+def bbox_level(w: np.ndarray, h: np.ndarray, max_res: int) -> np.ndarray:
+    """Natural level per bbox: finest ℓ ≤ max_res with cell_w(ℓ) ≥ w and
+    cell_h(ℓ) ≥ h (so the bbox spans ≤ 2 cells per dimension).  Degenerate
+    (point-like) bboxes key at max_res.  Vectorized; XZ2SFC#sequenceCode's
+    level loop collapsed to a log2."""
+    w = np.asarray(w, dtype=np.float64)
+    h = np.asarray(h, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        lw = np.floor(np.log2(np.where(w > 0, 360.0 / np.maximum(w, 1e-300), np.inf)))
+        lh = np.floor(np.log2(np.where(h > 0, 180.0 / np.maximum(h, 1e-300), np.inf)))
+    lvl = np.minimum(np.minimum(lw, lh), float(max_res))
+    return np.clip(lvl, 0, max_res).astype(np.int64)
+
+
+def _bbox_corner_cells(
+    lon0: float, lat0: float, lon1: float, lat1: float, level: int
+) -> np.ndarray:
+    """Distinct cells at ``level`` containing the bbox corners (1, 2 or 4).
+    Requires bbox to span ≤ 2 cells per dimension at ``level``."""
+    lons = np.asarray([lon0, lon1, lon0, lon1])
+    lats = np.asarray([lat0, lat0, lat1, lat1])
+    return np.unique(cells.encode(lons, lats, level))
+
+
+def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
+    """Driver/executor-shared key computation for ONE geometry: parse,
+    antimeridian-split, common natural level over parts, distinct corner
+    cells.  Unparseable / empty → [] (row is skipped, never a crash)."""
+    g = wkt.parse_wkt(geom_wkt)
+    if g is None:
+        return []
+    if g.kind == wkt.WKB_POINT:
+        c = cells.encode(np.asarray([g.coords[0]]), np.asarray([g.coords[1]]), max_res)
+        return [] if c[0] < 0 else [(max_res, int(c[0]))]
+    if g.kind == wkt.WKB_MULTIPOLYGON:
+        polys = [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
+    else:
+        polys = [g]
+    parts = []
+    for poly in polys:
+        parts.extend(wkt.antimeridian_split(poly) if poly.kind == wkt.WKB_POLYGON else [poly])
+    boxes = []
+    for p in parts:
+        if p.kind == wkt.WKB_POLYGON:
+            boxes.append(kernels.bbox_of_rings(p.rings()))
+        elif p.kind in (wkt.WKB_LINESTRING, wkt.WKB_MULTIPOINT):
+            xy = np.asarray(p.coords, dtype=np.float64)
+            boxes.append((xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()))
+        else:
+            return []
+    ws = np.asarray([b[2] - b[0] for b in boxes])
+    hs = np.asarray([b[3] - b[1] for b in boxes])
+    level = int(bbox_level(ws, hs, max_res).min())
+    cs: set[int] = set()
+    for b in boxes:
+        cs.update(int(c) for c in _bbox_corner_cells(b[0], b[1], b[2], b[3], level))
+    return [(level, c) for c in sorted(cs)]
+
+
+def geometry_keys_udf(max_res: int = DEFAULT_MAX_RES):
+    """Arrow-batched (wkt) → array<struct<xz_level, xz_cell>>."""
+
+    @F.pandas_udf(KEYS_TYPE)
+    def keys(wkt_s: pd.Series) -> pd.Series:
+        out = []
+        # parse each DISTINCT wkt once per batch (covers skewed tables
+        # where one geometry repeats)
+        codes, uniques = pd.factorize(wkt_s, use_na_sentinel=True)
+        per_unique = [geometry_keys(u, max_res) for u in uniques]
+        for c in codes:
+            ks = per_unique[c] if c >= 0 else []
+            out.append([{"xz_level": lv, "xz_cell": cc} for lv, cc in ks])
+        return pd.Series(out)
+
+    return keys
+
+
+def encode_geometries(
+    geoms: DataFrame, wkt_col: str = "wkt", max_res: int = DEFAULT_MAX_RES
+) -> DataFrame:
+    """Geometry table → one row per (geometry, key): adds ``xz_level`` and
+    ``xz_cell``.  ≤4 rows per geometry (≤8 if antimeridian-split).  Rows
+    with unparseable geometry drop out (inner explode of [])."""
+    keyed = geoms.withColumn("_xz_keys", geometry_keys_udf(max_res)(F.col(wkt_col)))
+    return (
+        keyed.select("*", F.explode("_xz_keys").alias("_xz"))
+        .withColumn("xz_level", F.col("_xz.xz_level"))
+        .withColumn("xz_cell", F.col("_xz.xz_cell"))
+        .drop("_xz", "_xz_keys")
+    )
+
+
+def point_level_keys(
+    points: DataFrame, levels: list[int], max_res: int = DEFAULT_MAX_RES,
+    lon: str = "lon", lat: str = "lat",
+) -> DataFrame:
+    """Point probe side: one (xz_level, xz_cell) row per point per level in
+    ``levels`` — the point's ancestor cell at that level.  Pure JVM: the
+    max-res cell is codegen'd (:func:`cell_expr`) and each ancestor is a
+    shift; no Python, no shuffle."""
+    levels = sorted(set(int(l) for l in levels))
+    if not levels:
+        # empty geometry table: emit nothing (join would be empty anyway)
+        return points.withColumn("xz_level", F.lit(0)).withColumn(
+            "xz_cell", F.lit(0).cast("long")
+        ).limit(0)
+    p = points.withColumn("_cell_max", cell_expr(F.col(lon), F.col(lat), max_res))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(l).cast("int").alias("xz_level"),
+                F.shiftrightunsigned(F.col("_cell_max"), 2 * (max_res - l))
+                .cast("long")
+                .alias("xz_cell"),
+            )
+            for l in levels
+        ]
+    )
+    return (
+        p.filter(F.col("_cell_max") >= 0)
+        .select("*", F.explode(arr).alias("_xz"))
+        .withColumn("xz_level", F.col("_xz.xz_level"))
+        .withColumn("xz_cell", F.col("_xz.xz_cell"))
+        .drop("_xz", "_cell_max")
+    )
+
+
+def pip_refine_udf(predicate: str = "intersects"):
+    """Exact refine for arbitrary (non-broadcastable) geometry columns:
+    (wkt, lon, lat) → bool.  Each DISTINCT geometry in the Arrow batch is
+    parsed once and evaluated with the vectorized numpy kernels over its
+    whole candidate group — the per-row cost is one factorize lookup.
+
+    Polygons/multipolygons: point-in-polygon (contains = interior only,
+    DE-9IM T*****FF*; intersects/covers include the boundary).
+    Linestrings: intersects = point within 1e-6 m of the line (exact
+    on-line up to float noise); contains additionally excludes the two
+    endpoints (line boundary)."""
+    pred = predicate
+
+    @F.pandas_udf("boolean")
+    def refine(wkt_s: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = np.zeros(len(lons), dtype=bool)
+        codes, uniques = pd.factorize(wkt_s, use_na_sentinel=True)
+        for ui, w in enumerate(uniques):
+            m = codes == ui
+            g = wkt.parse_wkt(w)
+            if g is None:
+                continue
+            gl, gt = lons[m], lats[m]
+            hit = np.zeros(len(gl), dtype=bool)
+            if g.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+                polys = (
+                    [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
+                    if g.kind == wkt.WKB_MULTIPOLYGON
+                    else [g]
+                )
+                for poly in polys:
+                    for part in wkt.antimeridian_split(poly):
+                        cls = kernels.point_in_polygon(gl, gt, part.rings())
+                        if pred == "contains":
+                            hit |= cls == kernels.PIP_IN
+                        else:
+                            hit |= cls != kernels.PIP_OUT
+            elif g.kind == wkt.WKB_LINESTRING:
+                d = kernels.point_segments_dist_m(gl, gt, np.asarray(g.coords))
+                on_line = d <= 1e-6
+                if pred == "contains":
+                    ends = np.asarray(g.coords)[[0, -1]]
+                    at_end = ((gl[:, None] == ends[None, :, 0]) &
+                              (gt[:, None] == ends[None, :, 1])).any(axis=1)
+                    hit = on_line & ~at_end
+                else:
+                    hit = on_line
+            out[m] = hit
+        return pd.Series(out)
+
+    return refine
+
+
+def xz2_join_points(
+    geoms: DataFrame,
+    points: DataFrame,
+    predicate: str = "intersects",
+    max_res: int = DEFAULT_MAX_RES,
+    wkt_col: str = "wkt",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """LARGE geometry table ⋈ LARGE point table — the join GeoMesa answers
+    with an XZ2 index scan per partition envelope (GeoMesaJoinRelation).
+
+    Plan: geoms → Arrow keys UDF → (persisted) keyed rows; points → JVM
+    ancestor keys at the geometry table's PRESENT levels only; shuffle
+    equi-join on (xz_level, xz_cell); Arrow PIP refine grouped by
+    distinct geometry.  No dedupe: key sets partition space per geometry
+    (one level, distinct cells) and each point has one ancestor per level.
+
+    Output: all columns of both inputs (minus the key columns).
+    """
+    g = encode_geometries(geoms, wkt_col, max_res).persist()
+    levels = [r[0] for r in g.select("xz_level").distinct().collect()]
+    p = point_level_keys(points, levels, max_res, lon, lat)
+    joined = p.join(g, ["xz_level", "xz_cell"], "inner")
+    refined = joined.filter(
+        pip_refine_udf(predicate)(F.col(wkt_col), F.col(lon), F.col(lat))
+    )
+    return refined.drop("xz_level", "xz_cell")
+
+
+# ---------------------------------------------------------------------------
+# partitioned layout for geometry tables (XZ2Index write path analogue)
+# ---------------------------------------------------------------------------
+
+def write_partitioned_geoms(
+    geoms: DataFrame, path: str, wkt_col: str = "wkt",
+    max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4, mode: str = "overwrite",
+) -> None:
+    """Persist a geometry table in an XZ2-keyed hive layout:
+    ``xz_level=L/xz_bucket=B`` directories, sorted by ``xz_cell`` within
+    files.  ``xz_bucket`` is the key cell coarsened to ``bucket_res`` for
+    levels below it (levels coarser than bucket_res use the cell itself —
+    those layers hold the handful of continent-scale features).  A row is
+    written once PER KEY (≤4×), the storage analogue of GeoMesa storing
+    one XZ2 row per feature: reads prune by (level, bucket) and dedupe by
+    id is unnecessary because scans refine + each key cell is distinct."""
+    d = encode_geometries(geoms, wkt_col, max_res)
+    d = d.withColumn(
+        "xz_bucket",
+        F.when(F.col("xz_level") <= bucket_res, F.col("xz_cell")).otherwise(
+            F.expr(
+                f"CAST(shiftrightunsigned(xz_cell, (xz_level - {bucket_res}) * 2) AS LONG)"
+            )
+        ),
+    )
+    (
+        d.repartition("xz_level", "xz_bucket")
+        .sortWithinPartitions("xz_cell")
+        .write.mode(mode)
+        .partitionBy("xz_level", "xz_bucket")
+        .parquet(path)
+    )
+
+
+def scan_partitioned_geoms(
+    spark: SparkSession, path: str, query_wkt: str,
+    max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4,
+) -> DataFrame:
+    """Pruned candidate scan over an XZ2 layout: for each level, keep only
+    buckets whose cells can intersect the query bbox.  The filter is a
+    disjunction of (xz_level = L AND xz_bucket IN (...)) terms — all
+    partition-column comparisons, so Catalyst directory-prunes before any
+    row is read.  Candidates may repeat per key row: callers that need
+    per-feature rows must dropDuplicates on their id after refine (keys of
+    ONE query geometry can hit 2+ key rows of the same stored feature)."""
+    from ..plans.planner import extract_bounds
+
+    lon0, lat0, lon1, lat1 = extract_bounds(query_wkt)
+    terms = []
+    for lv in range(0, max_res + 1):
+        r = min(lv, bucket_res)
+        cov, rr = cells.cover_bbox(lon0, lat0, lon1, lat1, r)
+        cov = np.unique(cells.parent(cov, rr - r)) if rr > r else cov
+        # complete: a stored geometry intersecting the query has ≥1 key
+        # cell intersecting the query bbox (key cells cover the bbox), and
+        # that key cell's ancestor at r lies in the bbox cover at r
+        buckets = sorted(int(b) for b in cov)
+        terms.append(
+            (F.col("xz_level") == lv) & F.col("xz_bucket").isin(buckets)
+        )
+    cond = terms[0]
+    for t in terms[1:]:
+        cond = cond | t
+    return spark.read.parquet(path).filter(cond)
+
+
+def query_geoms(
+    spark: SparkSession, path: str, query_wkt: str, predicate: str = "intersects",
+    id_col: str = "geom_id", wkt_col: str = "wkt",
+    max_res: int = DEFAULT_MAX_RES,
+) -> DataFrame:
+    """Region query over a stored geometry table: pruned scan → exact
+    geometry-geometry refine (Arrow-batched, per-row relate on the pruned
+    candidate set only) → per-feature dedupe (a feature has ≤4 key rows)."""
+    from ..geo import relate
+
+    cand = scan_partitioned_geoms(spark, path, query_wkt, max_res)
+    qg = wkt.parse_wkt(query_wkt)
+
+    @F.pandas_udf("boolean")
+    def refine(wkt_s: pd.Series) -> pd.Series:
+        out = []
+        cache: dict[str, bool] = {}
+        for w in wkt_s:
+            if w not in cache:
+                g = wkt.parse_wkt(w)
+                if g is None:
+                    cache[w] = False
+                elif predicate == "contains":
+                    cache[w] = relate.contains(qg, g)
+                else:
+                    cache[w] = relate.intersects(qg, g)
+            out.append(cache[w])
+        return pd.Series(out, dtype=bool)
+
+    return (
+        cand.filter(refine(F.col(wkt_col)))
+        .drop("xz_level", "xz_cell", "xz_bucket")
+        .dropDuplicates([id_col])
+    )

@@ -1,0 +1,166 @@
+"""XZ2 non-point indexing: key completeness, large×large polygon×point
+join vs numpy brute force, pair uniqueness, partitioned layout pruning."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geomesa_spark import cells
+from geomesa_spark.geo import kernels, relate, wkt
+from geomesa_spark.operators import xz2
+
+
+def _rng():
+    return np.random.default_rng(4242)
+
+
+def _box_wkt(x0, y0, x1, y1):
+    return f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+
+def _random_boxes(n, rng):
+    cx = rng.uniform(-160, 160, n)
+    cy = rng.uniform(-75, 75, n)
+    w = rng.uniform(0.5, 25.0, n)
+    h = rng.uniform(0.5, 15.0, n)
+    return [
+        (f"g{i}", _box_wkt(cx[i] - w[i] / 2, cy[i] - h[i] / 2,
+                           cx[i] + w[i] / 2, cy[i] + h[i] / 2))
+        for i in range(n)
+    ]
+
+
+class TestKeys:
+    def test_bbox_level_bounds(self):
+        # cell at level L is 360/2^L wide, 180/2^L tall; the level must be
+        # the finest one whose cell still contains the bbox size
+        lv = xz2.bbox_level(np.array([4.01]), np.array([2.01]), 12)[0]
+        assert lv == 6  # 360/2^6=5.625 >= 4.01; 360/2^7=2.8 < 4.01
+        assert 360.0 / (1 << lv) >= 4.01 and 180.0 / (1 << lv) >= 2.01
+        assert xz2.bbox_level(np.array([0.0]), np.array([0.0]), 12)[0] == 12
+        assert xz2.bbox_level(np.array([360.0]), np.array([180.0]), 12)[0] == 0
+
+    def test_keys_cover_geometry(self):
+        rng = _rng()
+        for _, w in _random_boxes(60, rng):
+            keys = xz2.geometry_keys(w, 12)
+            assert 1 <= len(keys) <= 4
+            levels = {lv for lv, _ in keys}
+            assert len(levels) == 1  # one level per geometry
+            (lv,) = levels
+            g = wkt.parse_wkt(w)
+            bx = kernels.bbox_of_rings(g.rings())
+            # sample points inside the bbox: every one must fall in a key cell
+            px = rng.uniform(bx[0], bx[2], 50)
+            py = rng.uniform(bx[1], bx[3], 50)
+            pc = cells.encode(px, py, lv)
+            assert set(int(c) for c in pc) <= {c for _, c in keys}
+
+    def test_antimeridian_polygon_keys(self):
+        w = "POLYGON((175 -5, -175 -5, -175 5, 175 5, 175 -5))"
+        keys = xz2.geometry_keys(w, 12)
+        assert len(keys) >= 2
+        assert len({lv for lv, _ in keys}) == 1
+        # a point on each side of the seam must land in a key cell
+        (lv,) = {lv for lv, _ in keys}
+        for lon in (179.0, -179.0):
+            c = int(cells.encode(np.array([lon]), np.array([0.0]), lv)[0])
+            assert c in {c2 for _, c2 in keys}
+
+    def test_malformed_and_empty(self):
+        assert xz2.geometry_keys("POLYGON((oops", 12) == []
+        assert xz2.geometry_keys(None, 12) == []
+        # points key at max_res (mixed tables work)
+        assert xz2.geometry_keys("POINT(10 10)", 12)[0][0] == 12
+
+
+class TestJoin:
+    @pytest.fixture(scope="class")
+    def data(self, spark):
+        rng = _rng()
+        boxes = _random_boxes(40, rng)
+        # add one concave polygon and one antimeridian crosser
+        boxes.append(("g_concave",
+                      "POLYGON((0 0, 10 0, 10 10, 5 3, 0 10, 0 0))"))
+        boxes.append(("g_seam",
+                      "POLYGON((175 -5, -175 -5, -175 5, 175 5, 175 -5))"))
+        geoms = spark.createDataFrame(pd.DataFrame(boxes, columns=["geom_id", "wkt"]))
+        n = 3000
+        pts = pd.DataFrame({
+            "point_id": np.arange(n),
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-88, 88, n),
+        })
+        points = spark.createDataFrame(pts)
+        return boxes, pts, geoms, points
+
+    def _brute(self, boxes, pts, predicate):
+        exp = set()
+        for gid, w in boxes:
+            g = wkt.parse_wkt(w)
+            hit = np.zeros(len(pts), dtype=bool)
+            for part in wkt.antimeridian_split(g):
+                cls = kernels.point_in_polygon(
+                    pts["lon"].to_numpy(), pts["lat"].to_numpy(), part.rings())
+                if predicate == "contains":
+                    hit |= cls == kernels.PIP_IN
+                else:
+                    hit |= cls != kernels.PIP_OUT
+            exp |= {(gid, int(p)) for p in pts["point_id"].to_numpy()[hit]}
+        return exp
+
+    @pytest.mark.parametrize("predicate", ["intersects", "contains"])
+    def test_join_matches_bruteforce(self, spark, data, predicate):
+        boxes, pts, geoms, points = data
+        out = xz2.xz2_join_points(geoms, points, predicate=predicate)
+        rows = out.select("geom_id", "point_id").collect()
+        got = {(r["geom_id"], r["point_id"]) for r in rows}
+        assert len(rows) == len(got), "duplicate (geom, point) pairs"
+        assert got == self._brute(boxes, pts, predicate)
+        assert len(got) > 50
+
+    def test_line_intersects(self, spark):
+        geoms = spark.createDataFrame(
+            pd.DataFrame([("L1", "LINESTRING(0 0, 10 10)")], columns=["geom_id", "wkt"]))
+        pts = pd.DataFrame({
+            "point_id": [0, 1, 2],
+            "lon": [5.0, 5.0, 0.0],
+            "lat": [5.0, 6.0, 0.0],
+        })
+        out = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "intersects")
+        got = {r["point_id"] for r in out.collect()}
+        assert got == {0, 2}
+        out_c = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "contains")
+        assert {r["point_id"] for r in out_c.collect()} == {0}  # endpoint excluded
+
+
+class TestLayout:
+    @pytest.fixture(scope="class")
+    def layout(self, spark, tmp_path_factory):
+        rng = _rng()
+        boxes = _random_boxes(200, rng)
+        geoms = spark.createDataFrame(pd.DataFrame(boxes, columns=["geom_id", "wkt"]))
+        path = str(tmp_path_factory.mktemp("xz2") / "geoms")
+        xz2.write_partitioned_geoms(geoms, path)
+        return boxes, path
+
+    def test_scan_prunes_partitions(self, spark, layout):
+        boxes, path = layout
+        q = _box_wkt(0, 0, 20, 20)
+        cand = xz2.scan_partitioned_geoms(spark, path, q)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "xz_bucket" in plan
+        all_parts = (
+            spark.read.parquet(path).select("xz_level", "xz_bucket").distinct().count()
+        )
+        scan_parts = cand.select("xz_level", "xz_bucket").distinct().count()
+        assert scan_parts < all_parts
+
+    def test_query_matches_bruteforce(self, spark, layout):
+        boxes, path = layout
+        q = _box_wkt(0, 0, 20, 20)
+        got = {r["geom_id"] for r in xz2.query_geoms(spark, path, q).collect()}
+        qg = wkt.parse_wkt(q)
+        exp = {gid for gid, w in boxes if relate.intersects(qg, wkt.parse_wkt(w))}
+        assert got == exp and len(got) > 0
