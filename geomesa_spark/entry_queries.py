@@ -183,6 +183,34 @@ def q_xz2_poly_point_join(spark, sf_dir):
     return out.select("point_event_id", "geom_event_id")
 
 
+def q_z3_bbox_time(spark, sf_dir):
+    """Z3 path: events written to a (time_bin, cell_bucket) hive layout —
+    geom+time as the PRIMARY key — then queried with bbox + time range so
+    BOTH partition dimensions prune (asserted in
+    tests/test_planner_lineage.py::TestZ3TimeBinnedLayout).  The layout
+    write here is the demo-scale stand-in for the one-time ingest job;
+    queries at 100 TB hit a pre-built layout."""
+    import os
+
+    from .plans import planner
+    from .sources.corpus import CACHE_DIR
+
+    pts = _event_points(spark, sf_dir).select("event_id", "ts", "lon", "lat")
+    n = pts.count()
+    path = os.path.join(CACHE_DIR, f"z3_events_n{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        planner.write_partitioned(pts, path, res=10, time_col="ts")
+    out = planner.query(
+        spark, path,
+        "POLYGON((-60.005 -60.005, 60.005 -60.005, 60.005 60.005, "
+        "-60.005 60.005, -60.005 -60.005))",
+        "intersects",
+        time_col="ts",
+        time_range=("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    )
+    return out.select("event_id")
+
+
 def q_flagship_spans_join(spark, sf_dir):
     """Rows-only (interleaved-span corpus is not a driver view): the
     flagship documents_spans ⋈ fixture-polygons join, all 12 polygons."""
@@ -497,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_grid": q_density_grid,
         "knn_centers": q_knn_centers,
         "xz2_poly_point_join": q_xz2_poly_point_join,
+        "z3_bbox_time": q_z3_bbox_time,
         "flagship_spans_join": q_flagship_spans_join,
         "temporal_filter": q_temporal_filter,
         "sample_mod": q_sample_mod,
@@ -594,6 +623,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p JOIN g
               ON p.lon >= g.glon - 2.005 AND p.lon <= g.glon + 2.005
              AND p.lat >= g.glat - 1.005 AND p.lat <= g.glat + 1.005
+        """,
+        "z3_bbox_time": f"""
+            WITH {_pts_cte()}
+            SELECT p.event_id
+            FROM pts p JOIN events e ON p.event_id = e.event_id
+            WHERE p.lon >= -60.005 AND p.lon <= 60.005
+              AND p.lat >= -60.005 AND p.lat <= 60.005
+              AND e.ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND e.ts < TIMESTAMP '2024-01-15 00:00:00'
         """,
         "temporal_filter": """
             SELECT event_id, event_type FROM events

@@ -99,9 +99,22 @@ def choose_resolution(
 # partitioned layout (FSDS partition-scheme analogue)
 # ---------------------------------------------------------------------------
 
+#: Z3 time-bin width: 7 days ≙ GeoMesa's default weekly BinnedTime period
+#: (``curve/BinnedTime.scala`` — geom+time as the PRIMARY key).
+TIME_BIN_DAYS = 7
+
+
+def time_bin_expr(time_col: str, bin_days: int = TIME_BIN_DAYS) -> F.Column:
+    """Epoch-day bin index (UTC), floor division — pure JVM."""
+    return F.floor(F.unix_timestamp(F.col(time_col)) / F.lit(86400 * bin_days)).cast(
+        "long"
+    )
+
+
 def write_partitioned(
     points: DataFrame, path: str, res: int = 10, bucket_res: int = BUCKET_RES,
-    mode: str = "overwrite",
+    mode: str = "overwrite", time_col: str | None = None,
+    time_bin_days: int = TIME_BIN_DAYS,
 ) -> None:
     """Write a point table partitioned by ``cell_bucket`` (hive dirs) and
     sorted by ``cell`` within partitions (row-group min/max pruning).
@@ -109,17 +122,26 @@ def write_partitioned(
     cell is the fine index key at ``res``; cell_bucket is its ancestor at
     ``bucket_res`` (a 2·(res-bucket_res)-bit shift — cheap JVM-side once
     cell exists).  ``sortWithinPartitions`` makes parquet stats tight.
+
+    With ``time_col``, the layout becomes the Z3 analogue: hive dirs are
+    ``time_bin=W/cell_bucket=B`` (week bins ≙ BinnedTime) so geom+time is
+    the PRIMARY key — "this bbox, last week" reads only last week's bucket
+    dirs instead of every time bin.
     """
     enc = cell_encode_udf(res)
     d = points.withColumn("cell", enc(F.col("lon"), F.col("lat")))
     d = d.withColumn(
         "cell_bucket", F.shiftrightunsigned(F.col("cell"), 2 * (res - bucket_res))
     )
+    part_cols = ["cell_bucket"]
+    if time_col is not None:
+        d = d.withColumn("time_bin", time_bin_expr(time_col, time_bin_days))
+        part_cols = ["time_bin", "cell_bucket"]
     (
-        d.repartition("cell_bucket")
+        d.repartition(*[F.col(c) for c in part_cols])
         .sortWithinPartitions("cell")
         .write.mode(mode)
-        .partitionBy("cell_bucket")
+        .partitionBy(*part_cols)
         .parquet(path)
     )
 
@@ -131,9 +153,15 @@ def scan_partitioned(
     res: int = 10,
     bucket_res: int = BUCKET_RES,
     max_cells: int = 4096,
+    time_range: tuple[str, str] | None = None,
+    time_bin_days: int = TIME_BIN_DAYS,
 ) -> DataFrame:
     """Pruned scan: geometry → cover at bucket_res → partition filter →
     fine cell range filter (row-group pruning) → candidate rows.
+
+    With ``time_range`` (and a layout written with ``time_col``), the
+    ``time_bin`` partition dimension is pruned too — the Z3 primary-key
+    behaviour: only bucket dirs inside [bin(start), bin(end)] are listed.
 
     The caller refines (or uses :func:`query`, which does).  Plan check:
     ``.explain(True)`` must show the bucket list under PartitionFilters.
@@ -156,6 +184,11 @@ def scan_partitioned(
             fine_ranges.append((int(b) << span, ((int(b) + 1) << span) - 1))
     buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
     df = spark.read.parquet(path).filter(F.col("cell_bucket").isin(buckets))
+    if time_range is not None and "time_bin" in df.columns:
+        width = 86400 * time_bin_days
+        b0 = int(pd.Timestamp(time_range[0]).timestamp()) // width
+        b1 = int(pd.Timestamp(time_range[1]).timestamp()) // width
+        df = df.filter((F.col("time_bin") >= b0) & (F.col("time_bin") <= b1))
     return df
 
 
@@ -171,9 +204,13 @@ def query(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full GeoMesa-query analogue over a partitioned layout:
-    pruned scan (primary filter) → temporal filter → exact refine
+    pruned scan (primary filter: spatial buckets AND time bins when the
+    layout has them) → exact temporal row filter → exact refine
     (secondary filter) → dedupe."""
-    cand = scan_partitioned(spark, path, geom_wkt, res=res)
+    cand = scan_partitioned(
+        spark, path, geom_wkt, res=res,
+        time_range=time_range if time_col else None,
+    )
     if time_col and time_range:
         cand = cand.filter(
             (F.col(time_col) >= time_range[0]) & (F.col(time_col) < time_range[1])

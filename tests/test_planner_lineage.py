@@ -52,6 +52,66 @@ def test_loose_is_superset(spark, layout):
     assert exact <= loose
 
 
+class TestZ3TimeBinnedLayout:
+    @pytest.fixture(scope="class")
+    def z3_layout(self, spark, sf_dir, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("z3") / "events_points")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = ev.select(
+            "event_id",
+            "ts",
+            F.expr("((event_id * 9973) % 36000) / 100.0 - 180.0").alias("lon"),
+            F.expr("((event_id * 7919) % 17000) / 100.0 - 85.0").alias("lat"),
+        )
+        planner.write_partitioned(pts, path, res=10, time_col="ts")
+        return path
+
+    def test_time_bin_partition_pruning(self, spark, z3_layout):
+        poly = "POLYGON((-180 -85, 180 -85, 180 85, -180 85, -180 -85))"
+        tr = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        cand = planner.scan_partitioned(spark, z3_layout, poly, res=10, time_range=tr)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "time_bin" in plan  # partition filter reached the scan
+        n_bins_all = spark.read.parquet(z3_layout).select("time_bin").distinct().count()
+        n_bins_scan = cand.select("time_bin").distinct().count()
+        assert n_bins_scan < n_bins_all and n_bins_all > 1
+
+    def test_space_and_time_both_prune(self, spark, z3_layout):
+        poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
+        tr = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        cand = planner.scan_partitioned(spark, z3_layout, poly, res=10, time_range=tr)
+        full = spark.read.parquet(z3_layout)
+        assert (
+            cand.select("cell_bucket").distinct().count()
+            < full.select("cell_bucket").distinct().count()
+        )
+        assert (
+            cand.select("time_bin").distinct().count()
+            < full.select("time_bin").distinct().count()
+        )
+
+    def test_query_matches_bruteforce(self, spark, z3_layout):
+        poly = "POLYGON((-60 -60, 60 -60, 60 60, -60 60, -60 -60))"
+        tr = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        got = {
+            r["event_id"]
+            for r in planner.query(
+                spark, z3_layout, poly, "intersects", time_col="ts", time_range=tr
+            ).collect()
+        }
+        pdf = spark.read.parquet(z3_layout).select("event_id", "lon", "lat", "ts").toPandas()
+        cls = kernels.point_in_polygon(
+            pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+            [np.array([[-60, -60], [60, -60], [60, 60], [-60, 60], [-60, -60]], dtype=float)],
+        )
+        m = (
+            (cls != kernels.PIP_OUT)
+            & (pdf["ts"] >= np.datetime64("2024-01-08"))
+            & (pdf["ts"] < np.datetime64("2024-01-15"))
+        )
+        assert got == set(pdf["event_id"].to_numpy()[m]) and len(got) > 0
+
+
 def test_choose_resolution_skew(spark, sf_dir):
     docs = corpus.load_documents_spans(spark, sf_dir)
     pts = sj.extract_geo_points(docs).select("lon", "lat")
