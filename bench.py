@@ -80,7 +80,7 @@ def main() -> None:
         dict(center_id="C2", lon=-50.0, lat=-20.0),
         dict(center_id="C3", lon=179.8, lat=0.0),
     ]
-    run("dwithin_100km", lambda: sj.dwithin_join_broadcast(pts, centers, 100_000.0).count())
+    run("dwithin_100km", lambda: sj.dwithin_join_broadcast(pts, centers, 100_000.0, unique_ids=True).count())
 
     # 5. kNN (10 fixture queries, iterative ring expansion)
     run(
@@ -98,7 +98,7 @@ def main() -> None:
     ev = spark.read.parquet(corpus.ensure_events_geo(sf_dir)).select("event_id", "lon", "lat")
     run(
         "grid_join_50km",
-        lambda: sj.spatial_join_grid(pts, ev, res=8, dist_m=50_000.0).count(),
+        lambda: sj.spatial_join_grid(pts, ev, res=8, dist_m=50_000.0, unique_ids=True).count(),
     )
 
     # 7. generic agg baseline (TPC-H Q1 analogue on driver table)

@@ -103,7 +103,9 @@ def q_spatial_join_rect_intersects(spark, sf_dir):
     from .operators import spatial_join as sj
 
     pts = _event_points(spark, sf_dir)
-    out = sj.spatial_join_broadcast(pts, _rect_rows(), predicate="intersects", id_col="event_id")
+    out = sj.spatial_join_broadcast(
+        pts, _rect_rows(), predicate="intersects", id_col="event_id", unique_ids=True
+    )
     return out.select("event_id", "polygon_id")
 
 
@@ -111,7 +113,9 @@ def q_spatial_join_rect_contains(spark, sf_dir):
     from .operators import spatial_join as sj
 
     pts = _event_points(spark, sf_dir)
-    out = sj.spatial_join_broadcast(pts, _rect_rows(), predicate="contains", id_col="event_id")
+    out = sj.spatial_join_broadcast(
+        pts, _rect_rows(), predicate="contains", id_col="event_id", unique_ids=True
+    )
     return out.select("event_id", "polygon_id")
 
 
@@ -120,7 +124,9 @@ def q_st_dwithin_centers(spark, sf_dir):
 
     pts = _event_points(spark, sf_dir)
     centers = [dict(center_id=c, lon=lo, lat=la) for c, lo, la in DWITHIN_CENTERS]
-    out = sj.dwithin_join_broadcast(pts, centers, DWITHIN_M, id_col="event_id")
+    out = sj.dwithin_join_broadcast(
+        pts, centers, DWITHIN_M, id_col="event_id", unique_ids=True
+    )
     return out.select("event_id", "center_id")
 
 

@@ -320,16 +320,22 @@ def spatial_join_broadcast(
     loose: bool = False,
     id_col: str = "doc_id",
     max_cells: int = 4096,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Join point rows (must carry ``lon``/``lat``) against a small polygon
-    set: cover-broadcast equi-join + exact refine + dedupe.
+    set: cover-broadcast equi-join + exact refine.
 
     ``loose=True`` skips the exact refine (GeoMesa's LOOSE_BBOX hint —
     cover membership is then the answer; false positives allowed).
-    Plan shape: Scan → Arrow UDF (cell) → BroadcastHashJoin(cell) →
-    [Arrow UDF refine] → Exchange(dedupe on ids).  No shuffle before the
-    join; the only shuffle is the final dedupe over *matched* pairs.
-    """
+
+    A point has exactly ONE cell and covers are deduped per (polygon,
+    cell), so each INPUT ROW matches a polygon at most once — duplicate
+    (id, polygon) pairs can only come from the same id appearing on
+    multiple rows.  ``unique_ids=True`` (id column is row-unique, e.g. an
+    event table) therefore drops the ``dropDuplicates`` exchange entirely:
+    the whole join is then ZERO-shuffle (Scan → cell expr →
+    BroadcastHashJoin → refine).  Default keeps the dedupe for exploded
+    inputs (one doc, many geo points)."""
     spark = points.sparkSession
     ps = PolygonSet.from_rows(polygon_rows)
     cover_df, res_used = ps.cover_frame(spark, res, max_cells)
@@ -340,7 +346,8 @@ def spatial_join_broadcast(
             F.col("full")
             | ps.refine_udf(predicate)(F.col("lon"), F.col("lat"), F.col("polygon_id"))
         )
-    return joined.drop("full").dropDuplicates([id_col, "polygon_id"])
+    out = joined.drop("full")
+    return out if unique_ids else out.dropDuplicates([id_col, "polygon_id"])
 
 
 def spatial_join_documents(
@@ -422,11 +429,13 @@ def dwithin_join_broadcast(
     res: int = 9,
     id_col: str = "doc_id",
     center_id_col: str = "center_id",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """st_dwithin(point, center, meters) against a small center set:
     geodesic-radius cell cover per center (k-ring analogue), broadcast
-    equi-join, exact haversine refine.  Same plan shape as the polygon
-    join — shuffle-free until the final dedupe."""
+    equi-join, exact haversine refine.  Same plan shape (and same
+    ``unique_ids`` zero-shuffle argument) as the polygon join: one cell
+    per point × deduped cover ⇒ one candidate per (row, center)."""
     spark = points.sparkSession
     rows = []
     res_common = res
@@ -459,7 +468,7 @@ def dwithin_join_broadcast(
     joined = joined.withColumn(
         "dist_m", dist_to_center(F.col("lon"), F.col("lat"), F.col(center_id_col))
     ).filter(F.col("dist_m") <= float(dist_m))
-    return joined.dropDuplicates([id_col, center_id_col])
+    return joined if unique_ids else joined.dropDuplicates([id_col, center_id_col])
 
 
 # ---------------------------------------------------------------------------
@@ -474,11 +483,18 @@ def spatial_join_grid(
     left_id: str = "doc_id",
     right_id: str = "event_id",
     salt_threshold: int | None = None,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Point×point co-location join for two LARGE sides: both cell-encoded
     at ``res`` and shuffle-joined on the cell id; with ``dist_m`` the left
     side explodes to the k-ring needed to make the cover complete for that
     radius, and an exact haversine refine follows.
+
+    The per-row k-ring is np.unique'd and a right row has ONE cell, so a
+    (left row, right row) pair matches at most once — with row-unique ids
+    (``unique_ids=True``) the post-refine ``dropDuplicates`` exchange is
+    provably dead and skipped: the join then has exactly the two
+    unavoidable shuffles (one per side).
 
     Skew: AQE skew-join splitting is on session-wide; additionally, when
     ``salt_threshold`` is given, cells whose (sampled) row count exceeds it
@@ -559,7 +575,8 @@ def spatial_join_grid(
         joined = joined.withColumn(
             "dist_m", hav(F.col("lon"), F.col("lat"), F.col("lon_r"), F.col("lat_r"))
         ).filter(F.col("dist_m") <= float(dist_m))
-        joined = joined.dropDuplicates([left_id, right_id])
+        if not unique_ids:
+            joined = joined.dropDuplicates([left_id, right_id])
     return joined
 
 
