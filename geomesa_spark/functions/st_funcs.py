@@ -403,8 +403,66 @@ def st_translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
 
 # -- relations --------------------------------------------------------------
 
-def _binary_relation(fn):
+def _pip_fast(a: pd.Series, b: pd.Series, side: str, rule: str) -> pd.Series | None:
+    """Vectorized fast path for the priority-tier predicates: one argument
+    is ALL points and the other has few DISTINCT areal geometries (the
+    ``WHERE st_contains(st_geomFromWKT('POLY…'), geom)`` shape — a literal
+    constant column).  Each distinct geometry is parsed once and
+    :func:`kernels.point_in_polygon` runs over its whole point group —
+    same kernel and same ring lists as the per-row relate path, so results
+    are bit-identical; returns None (caller falls back) when the shape
+    doesn't fit.
+
+    side: which argument must be the point side ('a', 'b', 'any');
+    rule: 'in' (interior only), 'cov' (boundary counts), 'int'
+    (intersects, multipolygon ok), 'out' (disjoint)."""
+    if side in ("b", "any") and _all_points(b) and not _all_points(a):
+        pts, geoms = b, a
+    elif side in ("a", "any") and _all_points(a) and not _all_points(b):
+        pts, geoms = a, b
+    else:
+        return None
+    codes, uniques = pd.factorize(geoms, use_na_sentinel=True)
+    parsed = []
+    for u in uniques:
+        g = wkt.wkb_to_geom(u)
+        if g is None:
+            parsed.append(None)
+        elif g.kind == wkt.WKB_POLYGON:
+            parsed.append([g.coords])
+        elif g.kind == wkt.WKB_MULTIPOLYGON and rule in ("int", "out"):
+            parsed.append(list(g.coords))
+        else:
+            return None  # mixed/odd kinds: keep exact per-row semantics
+    lons, lats = wkt.wkb_points_to_lonlat(pts)
+    pt_null = ~(np.isfinite(lons) & np.isfinite(lats))
+    geom_null = codes == -1
+    hit = np.zeros(len(lons), dtype=bool)
+    for ui, parts in enumerate(parsed):
+        m = codes == ui
+        if parts is None:  # unparseable WKB → None, like the per-row path
+            geom_null |= m
+            continue
+        if not m.any():
+            continue
+        if rule == "in":
+            hit[m] = kernels.point_in_polygon(lons[m], lats[m], parts[0]) == kernels.PIP_IN
+        else:
+            cov = np.zeros(int(m.sum()), dtype=bool)
+            for rings in parts:
+                cov |= kernels.point_in_polygon(lons[m], lats[m], rings) != kernels.PIP_OUT
+            hit[m] = ~cov if rule == "out" else cov
+    out = hit.astype(object)
+    out[pt_null | geom_null] = None
+    return pd.Series(out)
+
+
+def _binary_relation(fn, fast: tuple[str, str] | None = None):
     def impl(a: pd.Series, b: pd.Series) -> pd.Series:
+        if fast is not None:
+            r = _pip_fast(a, b, *fast)
+            if r is not None:
+                return r
         ga, gb = _parse_series(a), _parse_series(b)
         return pd.Series(
             [bool(fn(x, y)) if (x is not None and y is not None) else None
@@ -415,12 +473,12 @@ def _binary_relation(fn):
     return impl
 
 
-st_contains = _binary_relation(relate.contains)
-st_within = _binary_relation(lambda a, b: relate.contains(b, a))
-st_intersects = _binary_relation(relate.intersects)
-st_disjoint = _binary_relation(lambda a, b: not relate.intersects(a, b))
-st_covers = _binary_relation(relate.covers)
-st_coveredBy = _binary_relation(lambda a, b: relate.covers(b, a))
+st_contains = _binary_relation(relate.contains, fast=("b", "in"))
+st_within = _binary_relation(lambda a, b: relate.contains(b, a), fast=("a", "in"))
+st_intersects = _binary_relation(relate.intersects, fast=("any", "int"))
+st_disjoint = _binary_relation(lambda a, b: not relate.intersects(a, b), fast=("any", "out"))
+st_covers = _binary_relation(relate.covers, fast=("b", "cov"))
+st_coveredBy = _binary_relation(lambda a, b: relate.covers(b, a), fast=("a", "cov"))
 st_equals = _binary_relation(relate.equals)
 st_crosses = _binary_relation(
     lambda a, b: relate.intersects(a, b) and not relate.contains(a, b) and not relate.contains(b, a)
