@@ -179,10 +179,17 @@ def st_asGeoJSON(s: pd.Series) -> pd.Series:
 @_pd("string")
 def st_geoHash(s: pd.Series, prec: pd.Series) -> pd.Series:
     lon, lat = wkt.wkb_points_to_lonlat(s)
-    p = int(prec.iloc[0]) if len(prec) else 9
-    # GeoMesa's st_geoHash takes precision in BITS; chars = bits/5
-    chars = max(1, p // 5)
-    return pd.Series(geohash.encode(lon, lat, chars), dtype=object)
+    # GeoMesa's st_geoHash takes precision in BITS; chars = bits/5.
+    # Precision is usually a literal (constant per batch) but may be a
+    # column — encode per distinct precision group (round-1 advice: the
+    # old code read only prec.iloc[0] for the whole batch).
+    p = prec.to_numpy()
+    out = np.empty(len(lon), dtype=object)
+    for pv in np.unique(p[~pd.isna(p)]):
+        m = p == pv
+        out[m] = geohash.encode(lon[m], lat[m], max(1, int(pv) // 5))
+    out[pd.isna(p)] = None
+    return pd.Series(out, dtype=object)
 
 
 # -- accessors --------------------------------------------------------------

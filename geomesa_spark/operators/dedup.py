@@ -243,8 +243,16 @@ def embedding_near_dup(
     independent sign-sketches of ``n_planes`` bits; candidates share a
     full sketch in ≥1 table; exact cosine verifies.  The scale path for
     what a brute-force O(n²) cross join can't do."""
-    first = df.select(vec_col).first()
-    d = dim or len(first[0])
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:  # empty input → empty result
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        dim = len(first[0])
+    d = dim
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, d))
 

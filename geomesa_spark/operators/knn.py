@@ -46,11 +46,16 @@ def _guaranteed_radius_m(lon: float, lat: float, rad_cells: int, res: int) -> fl
     if rad_cells <= 1:
         return 0.0
     cell_h_deg = 180.0 / (1 << res)
-    ring_top = min(abs(lat) + (rad_cells + 1) * cell_h_deg, 90.0)
-    cos_min = max(np.cos(np.radians(ring_top)), 0.0)
+    ring_top = abs(lat) + (rad_cells + 1) * cell_h_deg
+    if ring_top >= 90.0:
+        # Ring reaches the pole (round-1 advice): out-of-ring cells can
+        # differ only in LONGITUDE, and longitudinal meters shrink to zero
+        # at the pole — a cell 2 columns away may be km-close.  No sound
+        # lower bound exists from the latitude metric → no guarantee;
+        # the query keeps expanding (terminates via the full-scan round).
+        return 0.0
+    cos_min = np.cos(np.radians(ring_top))
     width_factor = min(1.0, 2.0 * cos_min)
-    if width_factor <= 0.0:  # ring touches the pole: lon dimension wraps fully
-        width_factor = 1.0
     return (rad_cells - 1) * cell_h_deg * _DEG_M * width_factor
 
 
@@ -70,7 +75,12 @@ def knn(
     the reference's KNN process).
     """
     spark = points.sparkSession
-    pts = points.withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    # cache the encoded table: every expansion round re-joins it, and
+    # without the cache each round would rescan + re-encode from source
+    # (round-1 verdict item — linear-in-rounds waste)
+    pts = points.withColumn(
+        "cell", cell_encode_udf(res)(F.col("lon"), F.col("lat"))
+    ).persist()
 
     centers = {q["query_id"]: (float(q["lon"]), float(q["lat"])) for q in queries}
     want_k = {q["query_id"]: int(q["k"]) for q in queries}
@@ -132,6 +142,7 @@ def knn(
                 still.add(q)
         unsatisfied = still
 
+    pts.unpersist()
     out = (
         pd.concat([df.assign(query_id=q) for q, df in best.items()], ignore_index=True)
         if best

@@ -78,6 +78,14 @@ class SqlEngine:
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def _covers_from_query(self, query: str, bucket_res: int) -> np.ndarray | None:
+        # Soundness gate (round-1 advice): pruning is only valid when the
+        # spatial predicate is a top-level CONJUNCT.  `NOT st_contains(...)`
+        # or `st_contains(...) OR other` selects rows OUTSIDE the cover, so
+        # any NOT/OR token in the query disables pruning — conservative
+        # (full scan) but never a wrong answer.  (ORDER BY does not match
+        # the \bOR\b word boundary.)
+        if re.search(r"\bNOT\b|\bOR\b", query, re.IGNORECASE):
+            return None
         buckets = []
         for _, wkt_text in _PRED_RE.findall(query):
             g = wkt.parse_wkt(wkt_text)
@@ -96,8 +104,8 @@ class SqlEngine:
             buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
         if not buckets:
             return None
-        # multiple predicates: union is sound for OR; for AND it over-scans
-        # but stays correct (the kept predicates refine)
+        # multiple predicates (all conjuncts, OR is rejected above): the
+        # union over-scans for AND but stays correct (predicates refine)
         return np.unique(np.concatenate(buckets))
 
     def sql(self, query: str) -> DataFrame:

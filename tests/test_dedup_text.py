@@ -174,3 +174,16 @@ class TestMultimodal:
         assert (p["scale_x_1000"] > 0).all()
         fs = multimodal.frame_sample_plan(feats, every_n=1).limit(5).toPandas()
         assert fs["sample_frames"].apply(len).eq(fs["n_frames"]).all()
+
+
+def test_embedding_near_dup_empty_input(spark):
+    """Regression (round-1 advice): empty input → empty result, not a
+    TypeError from inferring the vector dimension off first()=None."""
+    from geomesa_spark.operators import dedup
+
+    e = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<float>, label string"
+    )
+    out = dedup.embedding_near_dup(e, cos_threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]

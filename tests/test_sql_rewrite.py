@@ -66,3 +66,37 @@ def test_unparseable_literal_is_sound(spark, engine):
     # falls back to full scan; predicate itself yields NULL → IS NULL keeps all
     n = engine.sql(q).collect()[0]["n"]
     assert n == spark.read.parquet(engine._tables["geo_docs"]["path"]).count()
+
+
+def test_not_predicate_disables_pruning(spark, engine):
+    """Regression (round-1 advice): NOT st_contains must not prune — rows
+    OUTSIDE the cover satisfy the query."""
+    q = f"""
+      SELECT doc_id FROM geo_docs
+      WHERE NOT st_contains(st_geomFromWKT('{POLY}'), st_point(lon, lat))
+    """
+    assert engine.explain_pruning(q)["geo_docs"] == -1  # no pruning
+    got = {r["doc_id"] for r in engine.sql(q).collect()}
+    full = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert got == full and len(got) > 0
+
+
+def test_or_predicate_disables_pruning(spark, engine):
+    q = f"""
+      SELECT doc_id FROM geo_docs
+      WHERE st_contains(st_geomFromWKT('{POLY}'), st_point(lon, lat))
+         OR lon < -170.0
+    """
+    assert engine.explain_pruning(q)["geo_docs"] == -1
+    got = {r["doc_id"] for r in engine.sql(q).collect()}
+    full = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert got == full and len(got) > 0
+
+
+def test_order_by_does_not_disable_pruning(spark, engine):
+    q = f"""
+      SELECT doc_id FROM geo_docs
+      WHERE st_contains(st_geomFromWKT('{POLY}'), st_point(lon, lat))
+      ORDER BY doc_id
+    """
+    assert engine.explain_pruning(q)["geo_docs"] > 0

@@ -237,3 +237,15 @@ class TestPipFastParity:
         only_polys = geoms[geoms.map(lambda b: b is None or b[1:5] != b"\x06\x00\x00\x00")]
         pts2 = pts[: len(only_polys)].reset_index(drop=True)
         assert S._pip_fast(only_polys.reset_index(drop=True), pts2, "b", "in") is not None
+
+
+def test_geohash_per_row_precision(spark):
+    """Regression (round-1 advice): a non-constant precision column must
+    encode each row at ITS precision, not the batch's first."""
+    rows = spark.sql(
+        "SELECT st_geoHash(st_point(x, y), p) AS h FROM VALUES "
+        "(CAST(10.5 AS DOUBLE), CAST(20.5 AS DOUBLE), 25), "
+        "(CAST(10.5 AS DOUBLE), CAST(20.5 AS DOUBLE), 45) AS t(x, y, p)"
+    ).collect()
+    assert len(rows[0]["h"]) == 5 and len(rows[1]["h"]) == 9
+    assert rows[1]["h"].startswith(rows[0]["h"])

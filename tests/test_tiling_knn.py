@@ -92,3 +92,23 @@ def test_knn_matches_bruteforce(spark, points_df, points_pdf, res):
         sub = got[got["query_id"] == q["query_id"]].sort_values("rank")
         assert list(sub["event_id"]) == exp_ids, q["query_id"]
         np.testing.assert_allclose(sub["dist_m"].to_numpy(), np.sort(d)[: q["k"]], rtol=1e-12)
+
+
+def test_knn_near_pole_longitude_trap(spark):
+    """Regression (round-1 advice): near the pole a cell 10+ columns away
+    in longitude can be CLOSER in meters than an in-ring point one cell
+    south.  The old width_factor=1.0 fallback terminated early with the
+    wrong neighbour; the fix returns no-guarantee and keeps expanding."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": ["in_ring", "across_lon"],
+            "lon": [0.0, 30.0],
+            "lat": [87.9, 88.9],
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    d_in = kernels.haversine_m(np.array([0.0]), np.array([87.9]), 0.0, 88.9)[0]
+    d_across = kernels.haversine_m(np.array([30.0]), np.array([88.9]), 0.0, 88.9)[0]
+    assert d_across < d_in  # the trap is real
+    out = knn_op.knn(pts, [dict(query_id="Q", lon=0.0, lat=88.9, k=1)], res=7)
+    assert list(out["event_id"]) == ["across_lon"]
