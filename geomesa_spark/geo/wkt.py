@@ -171,9 +171,28 @@ def parse_wkt(text: str | None) -> Geometry | None:
             for poly_body in _split_groups_raw(inner):
                 out.append([_parse_coord_seq(g) for g in _split_groups(poly_body)])
             return Geometry(WKB_MULTIPOLYGON, out) if out else None
+        if kind == "GEOMETRYCOLLECTION":
+            parts = [parse_wkt(p) for p in _split_top_level(inner)]
+            parts = [p for p in parts if p is not None]
+            return Geometry(WKB_COLLECTION, parts) if parts else None
         return None
     except (ValueError, IndexError):
         return None
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION body on commas at paren depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _fmt(v: float) -> str:
@@ -202,6 +221,17 @@ def to_wkt(g: Geometry | None) -> str | None:
             for poly in g.coords
         )
         return f"MULTIPOLYGON ({polys})"
+    if g.kind == WKB_MULTIPOINT:
+        pts = ", ".join(f"({_fmt(x)} {_fmt(y)})" for x, y in np.asarray(g.coords))
+        return f"MULTIPOINT ({pts})"
+    if g.kind == WKB_MULTILINESTRING:
+        lines = ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c) + ")" for c in g.coords
+        )
+        return f"MULTILINESTRING ({lines})"
+    if g.kind == WKB_COLLECTION:
+        parts = ", ".join(to_wkt(p) for p in g.coords)
+        return f"GEOMETRYCOLLECTION ({parts})"
     raise NotImplementedError(g.type_name)
 
 
@@ -272,6 +302,16 @@ def geom_to_wkb(g: Geometry | None) -> bytes | None:
         out = struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))
         for x, y in pts:
             out += point_to_wkb(float(x), float(y))
+        return out
+    if g.kind == WKB_MULTILINESTRING:
+        out = struct.pack("<BII", 1, WKB_MULTILINESTRING, len(g.coords))
+        for c in g.coords:
+            out += geom_to_wkb(Geometry(WKB_LINESTRING, c))
+        return out
+    if g.kind == WKB_COLLECTION:
+        out = struct.pack("<BII", 1, WKB_COLLECTION, len(g.coords))
+        for p in g.coords:
+            out += geom_to_wkb(p)
         return out
     raise NotImplementedError(g.type_name)
 

@@ -249,3 +249,102 @@ def test_geohash_per_row_precision(spark):
     ).collect()
     assert len(rows[0]["h"]) == 5 and len(rows[1]["h"]) == 9
     assert rows[1]["h"].startswith(rows[0]["h"])
+
+
+MPOLY = "st_geomFromWKT('MULTIPOLYGON(((0 0, 5 0, 5 5, 0 5, 0 0)), ((8 8, 12 8, 12 12, 8 12, 8 8)))')"
+MLINE = "st_geomFromWKT('MULTILINESTRING((0 0, 1 1), (1 1, 2 0))')"
+
+
+class TestRound2Accessors:
+    """Truth tables for the 14 functions the round-1 verdict flagged
+    missing (GeometricAccessorFunctions.scala parity)."""
+
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            (f"st_dimension({POLY})", 2),
+            (f"st_dimension({LINE})", 1),
+            ("st_dimension(st_point(1D, 2D))", 0),
+            (f"st_dimension({MPOLY})", 2),
+            (f"st_coordDim({POLY})", 2),
+            (f"st_numGeometries({MPOLY})", 2),
+            (f"st_numGeometries({POLY})", 1),
+            (f"st_numGeometries({MLINE})", 2),
+            (f"st_isCollection({MPOLY})", True),
+            (f"st_isCollection({POLY})", False),
+            (f"st_isClosed({LINE})", False),
+            ("st_isClosed(st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1, 0 0)'))", True),
+            (f"st_isClosed({POLY})", True),
+            (f"st_isSimple({LINE})", True),
+            ("st_isSimple(st_geomFromWKT('LINESTRING(0 0, 2 2, 2 0, 0 2)'))", False),
+            ("st_isRing(st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1, 0 0)'))", True),
+            (f"st_isRing({LINE})", False),
+            # figure-eight: closed but not simple
+            ("st_isRing(st_geomFromWKT('LINESTRING(0 0, 2 2, 0 2, 2 0, 0 0)'))", False),
+        ],
+    )
+    def test_scalar_truth_table(self, spark, expr, expected):
+        assert one(spark, expr) == expected
+
+    def test_boundary(self, spark):
+        assert one(spark, f"st_asText(st_boundary({POLY}))").startswith("LINESTRING")
+        assert one(spark, f"st_asText(st_boundary({HOLED}))").startswith("MULTILINESTRING")
+        # open line boundary = its two endpoints
+        t = one(spark, f"st_asText(st_boundary({LINE}))")
+        assert t.startswith("MULTIPOINT") and "0 0" in t and "10 10" in t
+        # closed line has empty boundary (engine convention: NULL)
+        assert one(spark, "st_boundary(st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1, 0 0)'))") is None
+        # mod-2 rule: shared endpoint of two lines is NOT boundary
+        t = one(spark, f"st_asText(st_boundary({MLINE}))")
+        assert "1 1" not in t and "0 0" in t and "2 0" in t
+
+    def test_geometry_n_and_interior_ring(self, spark):
+        assert one(spark, f"st_asText(st_geometryN({MPOLY}, 2))").startswith("POLYGON")
+        assert "8 8" in one(spark, f"st_asText(st_geometryN({MPOLY}, 2))")
+        assert one(spark, f"st_geometryN({MPOLY}, 3)") is None
+        assert one(spark, f"st_asText(st_geometryN({POLY}, 1))").startswith("POLYGON")
+        ring = one(spark, f"st_asText(st_interiorRingN({HOLED}, 1))")
+        assert ring.startswith("LINESTRING") and "4 4" in ring
+        assert one(spark, f"st_interiorRingN({HOLED}, 2)") is None
+        assert one(spark, f"st_interiorRingN({POLY}, 1)") is None
+
+    def test_lat_lon_text(self, spark):
+        t = one(spark, "st_asLatLonText(st_point(-79.03D, 35.843333333D))")
+        assert t == "35°50'36.000\"N 79°01'48.000\"W"
+
+    def test_make_point_m(self, spark):
+        t = one(spark, "st_asText(st_makePointM(1.5D, 2.5D, 9.0D))")
+        assert t == "POINT (1.5 2.5)"
+
+    def test_geom_from_geojson(self, spark):
+        j = '{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]]]}'
+        assert one(spark, f"st_contains(st_geomFromGeoJSON('{j}'), st_point(5D, 5D))") is True
+        jp = '{"type": "Point", "coordinates": [3.5, 4.5]}'
+        assert one(spark, f"st_x(st_geomFromGeoJSON('{jp}'))") == 3.5
+        assert one(spark, "st_geomFromGeoJSON('not json')") is None
+
+    def test_spheroid_distance_and_length(self, spark):
+        # canonical WGS84 values: 1 degree of longitude at the equator is
+        # 111.3195 km; 1 degree of latitude at the equator is 110.5744 km
+        d_lon = one(spark, "st_distanceSpheroid(st_point(0D, 0D), st_point(1D, 0D))")
+        d_lat = one(spark, "st_distanceSpheroid(st_point(0D, 0D), st_point(0D, 1D))")
+        assert abs(d_lon - 111_319.49) < 1.0
+        assert abs(d_lat - 110_574.39) < 1.0
+        # sphere and spheroid must genuinely differ (the round-1 alias bug)
+        d_sph = one(spark, "st_distanceSphere(st_point(0D, 0D), st_point(0D, 1D))")
+        assert abs(d_sph - d_lat) > 100.0
+        l = one(spark, "st_lengthSpheroid(st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1)'))")
+        assert abs(l - (111_319.49 + 110_575.07)) < 10.0
+
+    def test_collection_roundtrip(self, spark):
+        w = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+        t = one(spark, f"st_asText(st_geomFromWKT('{w}'))")
+        assert t == w
+        assert one(spark, f"st_numGeometries(st_geomFromWKT('{w}'))") == 2
+        assert one(spark, f"st_dimension(st_geomFromWKT('{w}'))") == 1
+
+    def test_multilinestring_roundtrip(self, spark):
+        w = "MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))"
+        assert one(spark, f"st_asText(st_geomFromWKT('{w}'))") == w
+        b = one(spark, f"st_asBinary(st_geomFromWKT('{w}'))")
+        assert one(spark, f"st_asText(st_geomFromWKB(X'{bytes(b).hex()}'))") == w
