@@ -228,6 +228,20 @@ def q_flagship_spans_join(spark, sf_dir):
     return out.select("doc_id", "polygon_id", F.size("spans").alias("n_spans"))
 
 
+def q_flagship_rect_join(spark, sf_dir):
+    """Oracle-BACKED flagship (round-1 verdict item 7): the same all-JVM
+    zero-shuffle documents_spans join restricted to the 6 axis-aligned
+    fixture rectangles — DuckDB reproduces the answer by UNNESTing the
+    synthesized span corpus parquet (the engine query materializes it
+    before the oracle runs) and bbox-joining the extracted points."""
+    from .operators import spatial_join as sj
+    from .sources import corpus
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    out = sj.spatial_join_documents(docs, _rect_rows(), predicate="intersects")
+    return out.select("doc_id", "polygon_id")
+
+
 # ---------------------------------------------------------------------------
 # temporal / attribute predicates + sampling (FilterHelper analogues)
 # ---------------------------------------------------------------------------
@@ -469,12 +483,36 @@ def q_simhash_pairs(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Rows-only: random-hyperplane LSH cosine near-dups over embeddings
     (LSH recall is probabilistic — exact brute-force twin is the
-    ann_topk_cosine entry)."""
+    ann_topk_cosine entry).  Threshold 0.45 sits just under the driver
+    table's max pairwise cosine (~0.49), so the green row exercises the
+    MATCH path, not the empty path (round-1 verdict item 8)."""
     from .operators import dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup(e, cos_threshold=0.9, n_planes=8, n_tables=8).select(
+    return dedup.embedding_near_dup(e, cos_threshold=0.45, n_planes=4, n_tables=12).select(
         "id_a", "id_b"
+    )
+
+
+def q_minhash_md5_pairs(spark, sf_dir):
+    """Oracle-backed MinHash+LSH (round-1 verdict item 7): deterministic
+    md5 signatures → banding → exact Jaccard verify, all-JVM; the DuckDB
+    twin reruns the identical pipeline single-node."""
+    from .operators import dedup
+
+    return dedup.minhash_lsh_pairs_jvm(
+        _t(spark, sf_dir, "documents"), n_sigs=12, n_bands=4, jaccard_threshold=0.9
+    )
+
+
+def q_simhash_md5_pairs(spark, sf_dir):
+    """Oracle-backed SimHash (round-1 verdict item 7): pigeonhole block
+    join is provably complete for hamming<=3 with 4 blocks, so the
+    distributed blocked pipeline must equal DuckDB's brute-force n²."""
+    from .operators import dedup
+
+    return dedup.simhash_pairs_jvm(
+        _t(spark, sf_dir, "documents"), n_bits=16, n_blocks=4, max_hamming=1
     )
 
 
@@ -533,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz2_poly_point_join": q_xz2_poly_point_join,
         "z3_bbox_time": q_z3_bbox_time,
         "flagship_spans_join": q_flagship_spans_join,
+        "flagship_rect_join": q_flagship_rect_join,
         "temporal_filter": q_temporal_filter,
         "sample_mod": q_sample_mod,
         "q1_pricing": q_q1_pricing,
@@ -551,10 +590,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_md5_pairs": q_minhash_md5_pairs,
+        "simhash_md5_pairs": q_simhash_md5_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "doc_fingerprints": q_doc_fingerprints,
     }
+
+
+def _minhash_md5_sql(n_sigs: int = 12, n_bands: int = 4, pct: int = 50) -> str:
+    rows = n_sigs // n_bands
+    sigs = ",\n".join(
+        f"        list_aggregate(list_transform(toks, t -> md5(concat('{i}|', t))), 'min') AS sig{i}"
+        for i in range(n_sigs)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT id, toks, {b} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'sig{b * rows + r}' for r in range(rows))})) AS key FROM s"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(string_split(lower(text), ' '),
+                                           x -> len(x) > 0)) AS toks
+          FROM documents),
+        d2 AS (SELECT id, toks FROM d WHERE len(toks) > 0),
+        s AS (SELECT id, toks,
+{sigs}
+              FROM d2),
+        bands AS ({bands}),
+        p AS (
+          SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                          a.toks AS toks_a, b.toks AS toks_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(toks_a, toks_b)) AS INT) AS i,
+               CAST(len(toks_a) + len(toks_b)
+                    - len(list_intersect(toks_a, toks_b)) AS INT) AS u
+        FROM p
+        WHERE len(list_intersect(toks_a, toks_b)) * 100
+              >= (len(toks_a) + len(toks_b) - len(list_intersect(toks_a, toks_b))) * {pct}
+    """
+
+
+def _simhash_md5_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
+    hex4 = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(t), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(vals, x -> "
+        f"CASE WHEN (CAST(floor(x / {1 << j}) AS INT) % 2) = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN (CAST(floor(ha / {1 << j}) AS INT) % 2) "
+        f"!= (CAST(floor(hb / {1 << j}) AS INT) % 2) THEN 1 ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(string_split(lower(text), ' '),
+                                           x -> len(x) > 0)) AS toks
+          FROM documents),
+        d2 AS (SELECT id, toks FROM d WHERE len(toks) > 0),
+        v AS (SELECT id, list_transform(toks, t -> {hex4}) AS vals FROM d2),
+        h AS (SELECT id, {bit_terms} AS simhash FROM v),
+        p AS (SELECT a.id AS doc_a, b.id AS doc_b, a.simhash AS ha, b.simhash AS hb
+              FROM h a JOIN h b ON a.id < b.id)
+        SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+        FROM p WHERE ({ham}) <= {max_hamming}
+    """
+
+
+def _flagship_rect_sql() -> str:
+    from .sources import corpus
+
+    path = corpus.documents_spans_path("/root/testdata/sf0.01")
+    # same regex the engine's span extraction compiles (POINT_WKT_RE)
+    re_pat = (
+        "^\\s*[Pp][Oo][Ii][Nn][Tt]\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"
+    )
+    return f"""
+        WITH raw AS (SELECT doc_id, spans FROM read_parquet('{path}')),
+        s AS (SELECT doc_id, UNNEST(spans) AS sp FROM raw),
+        g AS (
+          SELECT doc_id,
+                 TRY_CAST(nullif(regexp_extract(sp.text, '{re_pat}', 1), '') AS DOUBLE) AS lon,
+                 TRY_CAST(nullif(regexp_extract(sp.text, '{re_pat}', 2), '') AS DOUBLE) AS lat
+          FROM s WHERE sp.kind = 'geo'),
+        f AS (
+          SELECT doc_id, lon, lat FROM g
+          WHERE lon IS NOT NULL AND lat IS NOT NULL
+            AND lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0),
+        {_rects_cte()}
+        SELECT DISTINCT doc_id, polygon_id
+        FROM f JOIN rects
+          ON lon >= lon0 AND lon <= lon1 AND lat >= lat0 AND lat <= lat1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -630,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon >= g.glon - 2.005 AND p.lon <= g.glon + 2.005
              AND p.lat >= g.glat - 1.005 AND p.lat <= g.glat + 1.005
         """,
+        "flagship_rect_join": _flagship_rect_sql(),
+        "minhash_md5_pairs": _minhash_md5_sql(pct=90),
+        "simhash_md5_pairs": _simhash_md5_sql(max_hamming=1),
         "z3_bbox_time": f"""
             WITH {_pts_cte()}
             SELECT p.event_id

@@ -304,3 +304,151 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= float(cos_threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-portable JVM tier (round-2): md5-based MinHash / SimHash whose
+# every step is a deterministic SQL expression — the distributed pipeline
+# can therefore be verified against a single-node DuckDB twin exactly,
+# and the hot path is 100% JVM codegen (no Python at all).
+# ---------------------------------------------------------------------------
+
+_TOKS = "array_distinct(filter(split(lower({text}), ' '), x -> length(x) > 0))"
+
+
+def minhash_lsh_pairs_jvm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_sigs: int = 12, n_bands: int = 4, jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, all-JVM and oracle-portable.
+
+    Signature i = MIN over distinct tokens of md5('<i>|' || token) — a
+    lexicographic min over hex strings, identical in any engine.  Bands of
+    ``n_sigs // n_bands`` rows hash to a bucket key; candidates share a
+    (band, key); the exact token-set Jaccard then verifies candidates.
+    Plan: scan → codegen signature arrays → explode ×n_bands →
+    shuffle self-join on (band, key) → codegen Jaccard filter.  One
+    shuffle pair; no Python; no O(n²).  (The numpy xxhash variant
+    ``minhash_lsh_pairs`` remains the high-throughput tier; this one
+    trades ~2× hash cost for engine-portable determinism.)
+    """
+    rows = n_sigs // n_bands
+    toks = _TOKS.format(text=text_col)
+    d = df.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
+    ).filter(F.size("toks") > 0)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(toks, t -> md5(concat('{i}|', t))))"
+        ).alias(f"sig{i}")
+        for i in range(n_sigs)
+    ]
+    d = d.select("id", "toks", *sig_cols)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig{b * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    e = d.select("id", "toks", F.explode(bands).alias("bk")).select(
+        "id", "toks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"), F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    pct = int(round(jaccard_threshold * 100))
+    return (
+        pairs.withColumn("i", inter).withColumn("u", union)
+        .filter(F.col("i") * 100 >= F.col("u") * pct)
+        .select("doc_a", "doc_b", "i", "u")
+    )
+
+
+def _hex4_to_int_expr(hexpr: str) -> str:
+    """First 4 hex chars of a hex string → int (portable: instr-based, no
+    conv(), so the same arithmetic exists in DuckDB)."""
+    terms = []
+    for k in range(4):
+        terms.append(
+            f"(instr('0123456789abcdef', substring({hexpr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_pairs_jvm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bits: int = 16, n_blocks: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs, all-JVM, oracle-portable, and EXACT: with
+    ``max_hamming < n_blocks`` the pigeonhole block join is complete (two
+    hashes within the Hamming ball must agree on ≥1 block), so the output
+    equals the brute-force n² answer — a provable identity the DuckDB twin
+    checks.  Bit j of a token's weight vector comes from the first 16 bits
+    of md5(token); the document hash is the sign of the per-bit sum.
+
+    Scale knobs: 16 bits / 4 blocks here keeps the SQL twin small; a
+    production corpus uses n_bits=64, n_blocks=8 (same code path).
+    """
+    assert max_hamming < n_blocks, "pigeonhole completeness requires h < blocks"
+    bits_per_block = n_bits // n_blocks
+    toks = _TOKS.format(text=text_col)
+    v = _hex4_to_int_expr("md5(t)")
+    d = df.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
+    ).filter(F.size("toks") > 0)
+    d = d.withColumn("vals", F.expr(f"transform(toks, t -> {v})")).drop("toks")
+    # per-bit signed sums → simhash int
+    bit_terms = []
+    for j in range(n_bits):
+        s = (
+            f"aggregate(vals, 0, (acc, x) -> acc + "
+            f"(CASE WHEN (CAST(x / {1 << j} AS INT) % 2) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN ({s}) >= 0 THEN {1 << j} ELSE 0 END)")
+    d = d.withColumn("simhash", F.expr(" + ".join(bit_terms))).drop("vals")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(bl).alias("block"),
+                F.expr(
+                    f"CAST(simhash / {1 << (bl * bits_per_block)} AS INT) % {1 << bits_per_block}"
+                ).alias("bval"),
+            )
+            for bl in range(n_blocks)
+        ]
+    )
+    e = d.select("id", "simhash", F.explode(blocks).alias("bk")).select(
+        "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.bval").alias("bval")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    ham = " + ".join(
+        f"(CASE WHEN (CAST(ha / {1 << j} AS INT) % 2) != (CAST(hb / {1 << j} AS INT) % 2) "
+        f"THEN 1 ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.expr(ham))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
