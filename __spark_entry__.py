@@ -63,7 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
     from geomesa_spark.sources import corpus
 
     docs = corpus.load_documents_spans(spark, "/root/testdata/sf0.001")
-    out = sj.spatial_join_documents(docs, corpus.fixture_polygons(), predicate="intersects")
+    # res="auto": sampled per-cell histogram picks the finest in-budget
+    # index resolution (a table property; here recomputed per smoke run)
+    out = sj.spatial_join_documents(
+        docs, corpus.fixture_polygons(), predicate="intersects", res="auto"
+    )
     return out.select(
         "doc_id", "polygon_id", F.size("spans").alias("n_spans")
     ).orderBy("doc_id", "polygon_id")

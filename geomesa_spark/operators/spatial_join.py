@@ -54,6 +54,11 @@ from ..geo import kernels, wkt
 #: positives.  Large deployments tune per-table (see adaptive split).
 DEFAULT_RES = 8
 
+#: auto-salting engages when a sampled cell's estimated row count exceeds
+#: this — roughly the rows one shuffle task should own (AQE splits beyond
+#: it too; salting additionally spreads the BUILD side of the join).
+AUTO_SALT_TASK_ROWS = 250_000
+
 POINT_WKT_RE = r"^\s*[Pp][Oo][Ii][Nn][Tt]\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$"
 
 
@@ -350,11 +355,29 @@ def spatial_join_broadcast(
     return out if unique_ids else out.dropDuplicates([id_col, "polygon_id"])
 
 
+def choose_document_resolution(
+    docs: DataFrame, sample: float = 0.02,
+    candidate_res: tuple[int, ...] = (6, 8, 10),
+    max_rows_per_cell: int = 200_000,
+) -> int:
+    """Adaptive index resolution for a span corpus (round-1 verdict item
+    10): sample the docs, extract geo points, and pick the finest
+    resolution whose hottest cell stays within budget — a ONE-TIME table
+    property (run it at ingest/planning, reuse the result per query)."""
+    from ..plans.planner import choose_resolution
+
+    pts = extract_geo_points(docs.sample(sample, seed=42)).select("lon", "lat")
+    return choose_resolution(
+        pts, candidate_res=candidate_res, sample=1.0,
+        max_rows_per_cell=max(1, int(max_rows_per_cell * sample)),
+    )
+
+
 def spatial_join_documents(
     docs: DataFrame,
     polygon_rows: list[dict],
     predicate: str = "intersects",
-    res: int = DEFAULT_RES,
+    res: int | str = DEFAULT_RES,
     loose: bool = False,
 ) -> DataFrame:
     """Flagship: documents_spans ⋈ polygons.  Output keeps the untouched
@@ -370,6 +393,8 @@ def spatial_join_documents(
     spans payload for a few percent of rows instead of all of them.
     """
     spark = docs.sparkSession
+    if res == "auto":  # sampled histogram → finest in-budget resolution
+        res = choose_document_resolution(docs)
     ps = PolygonSet.from_rows(polygon_rows)
     cover_df, res_used = ps.cover_frame(spark, res)
 
@@ -482,7 +507,7 @@ def spatial_join_grid(
     dist_m: float | None = None,
     left_id: str = "doc_id",
     right_id: str = "event_id",
-    salt_threshold: int | None = None,
+    salt_threshold: int | str | None = "auto",
     unique_ids: bool = False,
 ) -> DataFrame:
     """Point×point co-location join for two LARGE sides: both cell-encoded
@@ -496,15 +521,29 @@ def spatial_join_grid(
     provably dead and skipped: the join then has exactly the two
     unavoidable shuffles (one per side).
 
-    Skew: AQE skew-join splitting is on session-wide; additionally, when
-    ``salt_threshold`` is given, cells whose (sampled) row count exceeds it
-    are salted — left rows get a random salt in [0, s), right rows are
-    replicated s× — bounding any single task's partition (north_rule's
-    explicit skew handling; GeoMesa's ShardStrategy byte plays the same
-    role for writes).
+    Skew: AQE skew-join splitting is on session-wide; additionally, cells
+    whose (sampled) row count exceeds ``salt_threshold`` are salted — left
+    rows get a random salt in [0, s), right rows are replicated s× —
+    bounding any single task's partition (north_rule's explicit skew
+    handling; GeoMesa's ShardStrategy byte plays the same role for
+    writes).  The default ``"auto"`` (round-1 verdict item 10) probes the
+    narrow right side's sampled cell histogram and engages salting ONLY
+    when the hottest cell's estimated rows exceed the per-task bound
+    (:data:`AUTO_SALT_TASK_ROWS`) — a tiny driver-side decision job, zero
+    plan change for unskewed data.  Pass ``None`` to force it off, or an
+    int to pin the threshold.
     """
     l = left.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
     r = right.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
+
+    if salt_threshold == "auto":
+        probe = (
+            r.sample(0.05, seed=42)
+            .groupBy("cell").count()
+            .orderBy(F.col("count").desc()).limit(1).collect()
+        )
+        hottest_est = probe[0]["count"] / 0.05 if probe else 0
+        salt_threshold = AUTO_SALT_TASK_ROWS if hottest_est > AUTO_SALT_TASK_ROWS else None
 
     if dist_m is not None:
         # ring radii in CELLS that guarantee completeness at this res:

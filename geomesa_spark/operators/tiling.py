@@ -123,13 +123,54 @@ def tile_pyramid(
     df: DataFrame, zooms: list[int], lon="lon", lat="lat", weight: str | None = None
 ) -> DataFrame:
     """Density pyramid: (zoom, tile_x, tile_y) → count (+ weighted sum).
-    Partial aggregation is map-side (Spark default) — the DensityScan
-    partial/final shape."""
-    t = assign_tiles(df, zooms, lon, lat, with_quadkey=False, with_cell=False)
+
+    Round-2 plan shape: the POINT table is aggregated exactly once, at the
+    FINEST requested zoom; every coarser level is derived from that tiny
+    aggregated layer by shifting tile coords (floor nesting makes the
+    rollup bit-identical to aggregating the points directly:
+    floor(v·2^z) = floor(floor(v·2^Z) / 2^(Z−z)), clamping included).
+    vs the old one-explode-row-per-zoom shape this cuts the point-side
+    groupBy input and shuffle volume by len(zooms)× — the stage the
+    round-1 scaling audit flagged as GC-bound.  Partial aggregation stays
+    map-side (DensityScan partial/final shape)."""
+    zooms = sorted(zooms)
+    base_z = zooms[-1]
     aggs = [F.count(F.lit(1)).alias("n")]
     if weight is not None:
         aggs.append(F.sum(weight).alias("weight_sum"))
-    out = t.groupBy("zoom", "tile_x", "tile_y").agg(*aggs)
+    d = df.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+    base = (
+        d.withColumn("tile_x", _tile_xy_expr(lon, base_z, 360.0, 180.0))
+        .withColumn("tile_y", _tile_xy_expr(lat, base_z, 180.0, 90.0))
+        .groupBy("tile_x", "tile_y")
+        .agg(*aggs)
+    )
+    if len(zooms) > 1:
+        base = base.persist()
+    sum_aggs = [F.sum("n").alias("n")]
+    if weight is not None:
+        sum_aggs.append(F.sum("weight_sum").alias("weight_sum"))
+    levels = []
+    for z in zooms:
+        if z == base_z:
+            lvl = base.withColumn("zoom", F.lit(z).cast("int"))
+        else:
+            sh = base_z - z
+            lvl = (
+                base.withColumn("px", F.shiftrightunsigned(F.col("tile_x"), sh))
+                .withColumn("py", F.shiftrightunsigned(F.col("tile_y"), sh))
+                .groupBy("px", "py")
+                .agg(*sum_aggs)
+                .withColumnRenamed("px", "tile_x")
+                .withColumnRenamed("py", "tile_y")
+                .withColumn("zoom", F.lit(z).cast("int"))
+            )
+        levels.append(lvl)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    cols = ["zoom", "tile_x", "tile_y", "n"] + (["weight_sum"] if weight else [])
+    out = out.select(*cols)
     # interleave AFTER the aggregation — the UDF touches tile rows, not
     # point rows (tiles ≪ points at every real zoom)
     return out.withColumn("tile_cell", interleave_udf()(F.col("tile_x"), F.col("tile_y")))

@@ -228,3 +228,42 @@ def test_cell_expr_matches_numpy_encode(spark):
         )
         exp = c.encode(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), res)
         np.testing.assert_array_equal(got, exp)
+
+
+def test_auto_salt_and_auto_res(spark, docs_df, sf_dir):
+    """Auto-skew (verdict item 10): a hot-cell corpus engages salting
+    automatically and produces identical rows; auto resolution picks an
+    in-budget candidate and leaves flagship results unchanged."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    # 90% of right rows in ONE cell (hot cluster), rest spread out
+    hot = rng.integers(0, n, n) % 10 != 0
+    pdf = pd.DataFrame({
+        "event_id": [f"e{i}" for i in range(n)],
+        "lon": np.where(hot, 10.001 + rng.uniform(0, 0.1, n), rng.uniform(-170, 170, n)),
+        "lat": np.where(hot, 10.001 + rng.uniform(0, 0.1, n), rng.uniform(-80, 80, n)),
+    })
+    ev = spark.createDataFrame(pdf)
+    pts = sj.extract_geo_points(docs_df).select("doc_id", "lon", "lat")
+    import geomesa_spark.operators.spatial_join as sjmod
+    old = sjmod.AUTO_SALT_TASK_ROWS
+    try:
+        sjmod.AUTO_SALT_TASK_ROWS = 500  # force the auto path to engage
+        auto = sj.spatial_join_grid(pts, ev, res=7, dist_m=50_000.0)
+        off = sj.spatial_join_grid(pts, ev, res=7, dist_m=50_000.0, salt_threshold=None)
+        a = {(r["doc_id"], r["event_id"]) for r in auto.select("doc_id", "event_id").collect()}
+        assert "salt" in auto.columns  # salting actually engaged
+        b = {(r["doc_id"], r["event_id"]) for r in off.select("doc_id", "event_id").collect()}
+        assert a == b
+    finally:
+        sjmod.AUTO_SALT_TASK_ROWS = old
+
+    res = sj.choose_document_resolution(docs_df, sample=0.5)
+    assert res in (6, 8, 10)
+    fixed = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects")
+    auto_res = sj.spatial_join_documents(docs_df, corpus.fixture_polygons(), "intersects", res="auto")
+    fa = {(r["doc_id"], r["polygon_id"]) for r in fixed.select("doc_id", "polygon_id").collect()}
+    fb = {(r["doc_id"], r["polygon_id"]) for r in auto_res.select("doc_id", "polygon_id").collect()}
+    assert fa == fb
