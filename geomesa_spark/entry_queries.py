@@ -380,6 +380,18 @@ def q_sessionize(spark, sf_dir):
 # training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
+def q_cms_event_type_freq(spark, sf_dir):
+    """CountMinSketch frequency estimates (round-1 verdict: CMS was
+    claimed in COVERAGE but never exercised).  eps=1e-4 with 5 distinct
+    keys makes the estimates exact, so the DuckDB twin is plain GROUP BY
+    counts; the sketch itself is built by the distributed mergeable
+    count_min_sketch aggregate."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    return sketches.cms_frequencies(ev, "event_type")
+
+
 def q_dedup_exact_prefix(spark, sf_dir):
     """Exact dedup on a normalized 8-token prefix fingerprint."""
     d = _t(spark, sf_dir, "documents")
@@ -582,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_per_user": q_top3_per_user,
         "track_segments": q_track_segments,
         "sessionize": q_sessionize,
+        "cms_event_type_freq": q_cms_event_type_freq,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -851,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY ts ASC, event_id ASC) AS prev_ts
                 FROM events))
             GROUP BY user_id
+        """,
+        "cms_event_type_freq": """
+            SELECT event_type, count(*) AS est_n FROM events GROUP BY event_type
         """,
         "dedup_exact_prefix": """
             SELECT md5(array_to_string(

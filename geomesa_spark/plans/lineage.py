@@ -20,6 +20,15 @@ The reference analogue: GeoMesa has no job-resume (its writes are
 idempotent key-value puts); this layer is what the north_rule adds for
 10^12-document batch jobs where re-running finished cell ranges is the
 difference between hours and days.
+
+FILESYSTEM CONTRACT (round-1 verdict item 7): the per-bucket writers use
+``os.path`` / ``os.replace`` inside ``applyInPandas``, i.e. executors
+write DIRECTLY to ``job_dir``.  That is correct in local mode and on any
+shared POSIX filesystem (NFS/Lustre/EFS — the common HPC/EMR setup) where
+rename is atomic.  On object storage (S3/GCS) there is no atomic rename:
+point ``job_dir`` at a posix mount or swap the two ``os.replace`` call
+sites for Hadoop FS `create(tmp)+rename` via ``spark._jvm`` — the commit
+protocol (data file before manifest row before snapshot) is unchanged.
 """
 
 from __future__ import annotations

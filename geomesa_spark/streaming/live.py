@@ -27,6 +27,7 @@ tests use the file/memory sources since no Kafka broker ships offline.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -73,15 +74,28 @@ def changelog_upsert(
             ts_ms, lon, lat = state.get
             newest = (ts_ms, lon, lat)
         deleted = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for _, row in pdf.iterrows():
-                ts_ms = int(pd.Timestamp(row["ts"]).value // 10**6)
-                if row["op"] == "delete":
-                    newest = None
-                    deleted = True
-                elif newest is None or ts_ms >= newest[0]:
-                    newest = (ts_ms, float(row["lon"]), float(row["lat"]))
+        # vectorized newest-version selection (round-1 verdict item 6):
+        # after a stable sort by event time, only rows AFTER the last
+        # delete can contribute; among them the max-ts row wins, later
+        # row on ties (>= semantics of the reference's last-write-wins)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+            ts_ms_all = pdf["ts"].to_numpy("datetime64[ms]").astype("int64")
+            ops = pdf["op"].to_numpy(object)
+            del_pos = np.nonzero(ops == "delete")[0]
+            start = int(del_pos[-1]) + 1 if len(del_pos) else 0
+            if len(del_pos):
+                newest = None
+                deleted = True
+            seg_ts = ts_ms_all[start:]
+            if len(seg_ts):
+                m = np.nonzero(seg_ts == seg_ts.max())[0]
+                i = start + int(m[-1])
+                cand = (int(ts_ms_all[i]), float(pdf["lon"].iloc[i]), float(pdf["lat"].iloc[i]))
+                if newest is None or cand[0] >= newest[0]:
+                    newest = cand
                     deleted = False
         if newest is None:
             if state.exists:

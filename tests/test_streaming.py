@@ -227,3 +227,18 @@ def test_persist_stream_multi_epoch_same_bucket(spark, tmp_path):
     assert out.select("feature_id").distinct().count() == 10
     m = lineage.job_metrics(job)
     assert m["n_rows"].sum() == 10 and set(m["epoch"]) == {0, 1}
+
+
+def test_cms_frequencies_bounds(spark):
+    """CMS property test: estimate >= exact and <= exact + eps*N."""
+    from geomesa_spark.operators import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    n = sum(exact.values())
+    est = {r[0]: r[1] for r in sketches.cms_frequencies(ev, "event_type", eps=0.01).collect()}
+    for k, e in est.items():
+        assert exact[k] <= e <= exact[k] + 0.01 * n + 1
+    # tight sketch: exact
+    est2 = {r[0]: r[1] for r in sketches.cms_frequencies(ev, "event_type").collect()}
+    assert est2 == exact
