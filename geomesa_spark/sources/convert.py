@@ -78,3 +78,33 @@ def flat_points_to_spans(df: DataFrame, id_col: str = "doc_id", text_col: str | 
         ),
     )
     return df.select(F.col(id_col).cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def read_xml_points(
+    spark: SparkSession, path: str, row_tag: str, spec: dict[str, str],
+    schema: str | None = None, **options,
+) -> DataFrame:
+    """XML → table via Spark's native XML source (Spark 4) + a converter
+    spec over the parsed fields (the geomesa-convert-xml analogue; its
+    XPath expressions become dotted struct access in the spec)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema:
+        reader = reader.schema(schema)
+    return convert(reader.load(path), spec)
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, fields: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text → table: ``fields`` is a list of
+    (name, start_1_based, length, spark_type).  Pure substring/TRY_CAST
+    Catalyst expressions — the geomesa-convert fixed-width analogue;
+    malformed values null out instead of aborting the ingest."""
+    raw = spark.read.text(path)
+    spec = {
+        name: f"TRY_CAST(trim(substring(value, {start}, {length})) AS {typ})"
+        for name, start, length, typ in fields
+    }
+    return convert(raw, spec)
