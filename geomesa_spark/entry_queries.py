@@ -453,6 +453,22 @@ def q_ann_topk_cosine(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with FULL probe (n_probe = n_centroids): every cluster is
+    probed, so the result provably equals brute-force cosine top-k — the
+    DuckDB twin.  Partial-probe recall is pytest-bounded; this green row
+    proves the train/assign/probe/rerank machinery is lossless."""
+    from .operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    c = e.filter(F.col("vec_id") >= 8)
+    out = ann.ann_ivf(c, q, k=5, n_centroids=8, n_probe=8)
+    return out.select("query_id", "rank", "vec_id")
+
+
 def q_asof_click_purchase(spark, sf_dir):
     """As-of join: each click matched to the user's most recent prior (or
     same-instant) purchase — engine path is the scalable union+window
@@ -598,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "asof_click_purchase": q_asof_click_purchase,
         "lang_id": q_lang_id,
@@ -888,6 +905,23 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks)) * 100
                   >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 80
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+            c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 8),
+            s AS (
+              SELECT query_id, vec_id,
+                     list_dot_product(qemb, emb)
+                       / (sqrt(list_dot_product(qemb, qemb))
+                          * sqrt(list_dot_product(emb, emb))) AS sim
+              FROM c CROSS JOIN q),
+            r AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM s)
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM r WHERE rank <= 5
         """,
         "ann_topk_cosine": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -64,6 +64,30 @@ def st_geomFromWKT(s: pd.Series) -> pd.Series:
     return pd.Series([wkt.geom_to_wkb(wkt.parse_wkt(t)) for t in s.to_numpy(object)], dtype=object)
 
 
+def _typed_from_text(kinds: tuple[int, ...]):
+    """WKT constructor that enforces the declared geometry type — GeoMesa's
+    st_pointFromText et al. return null for a mismatched kind rather than
+    silently passing any geometry through (round-1 verdict §2.6)."""
+
+    def impl(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s.to_numpy(object):
+            g = wkt.parse_wkt(t)
+            out.append(wkt.geom_to_wkb(g) if g is not None and g.kind in kinds else None)
+        return pd.Series(out, dtype=object)
+
+    impl._st_dtype = "binary"
+    return impl
+
+
+st_pointFromText = _typed_from_text((wkt.WKB_POINT,))
+st_lineFromText = _typed_from_text((wkt.WKB_LINESTRING,))
+st_polygonFromText = _typed_from_text((wkt.WKB_POLYGON,))
+st_mPointFromText = _typed_from_text((wkt.WKB_MULTIPOINT,))
+st_mLineFromText = _typed_from_text((wkt.WKB_MULTILINESTRING,))
+st_mPolyFromText = _typed_from_text((wkt.WKB_MULTIPOLYGON,))
+
+
 @_pd("binary")
 def st_geomFromWKB(s: pd.Series) -> pd.Series:
     # validate by round-trip; invalid → null
@@ -1013,12 +1037,12 @@ _REGISTRY = {
     "st_geomFromWKT": st_geomFromWKT,
     "st_geomFromText": st_geomFromWKT,
     "st_geometryFromText": st_geomFromWKT,
-    "st_pointFromText": st_geomFromWKT,
-    "st_lineFromText": st_geomFromWKT,
-    "st_polygonFromText": st_geomFromWKT,
-    "st_mPolyFromText": st_geomFromWKT,
-    "st_mLineFromText": st_geomFromWKT,
-    "st_mPointFromText": st_geomFromWKT,
+    "st_pointFromText": st_pointFromText,
+    "st_lineFromText": st_lineFromText,
+    "st_polygonFromText": st_polygonFromText,
+    "st_mPolyFromText": st_mPolyFromText,
+    "st_mLineFromText": st_mLineFromText,
+    "st_mPointFromText": st_mPointFromText,
     "st_geomFromWKB": st_geomFromWKB,
     "st_pointFromWKB": st_geomFromWKB,
     "st_point": st_point,

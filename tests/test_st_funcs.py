@@ -348,3 +348,18 @@ class TestRound2Accessors:
         assert one(spark, f"st_asText(st_geomFromWKT('{w}'))") == w
         b = one(spark, f"st_asBinary(st_geomFromWKT('{w}'))")
         assert one(spark, f"st_asText(st_geomFromWKB(X'{bytes(b).hex()}'))") == w
+
+
+def test_typed_from_text_enforces_kind(spark):
+    """st_pointFromText et al. must reject mismatched kinds (round-1
+    verdict: they aliased the generic parser)."""
+    assert one(spark, "st_x(st_pointFromText('POINT(3 4)'))") == 3.0
+    assert one(spark, "st_pointFromText('LINESTRING(0 0, 1 1)')") is None
+    assert one(spark, "st_lineFromText('POINT(3 4)')") is None
+    assert one(spark, "st_asText(st_lineFromText('LINESTRING(0 0, 1 1)'))") is not None
+    assert one(spark, "st_polygonFromText('POINT(3 4)')") is None
+    assert one(spark, "st_mPolyFromText('POLYGON((0 0, 1 0, 1 1, 0 0))')") is None
+    assert (
+        one(spark, "st_numGeometries(st_mPolyFromText("
+                   "'MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))'))") == 1
+    )
