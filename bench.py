@@ -101,7 +101,13 @@ def main() -> None:
         lambda: sj.spatial_join_grid(pts, ev, res=8, dist_m=50_000.0, unique_ids=True).count(),
     )
 
-    # 7. generic agg baseline (TPC-H Q1 analogue on driver table)
+    # 7. XZ2: large polygon table × large point table (round-2 operator)
+    run(
+        "xz2_poly_join",
+        lambda: entry_queries.q_xz2_poly_point_join(spark, sf_dir).count(),
+    )
+
+    # 8. generic agg baseline (TPC-H Q1 analogue on driver table)
     run("q1_pricing", lambda: entry_queries.q_q1_pricing(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
