@@ -39,6 +39,38 @@ UPSERT_OUTPUT_SCHEMA = "feature_id string, ts timestamp, lon double, lat double,
 UPSERT_STATE_SCHEMA = "ts long, lon double, lat double"
 
 
+def kafka_changelog_source(
+    spark, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka topic of JSON change messages → the changelog schema that
+    :func:`changelog_upsert` consumes (the GeoMessage wire analogue:
+    ``{"feature_id","ts","lon","lat","op"}`` per record; deletes may omit
+    lon/lat).
+
+    UNTESTED offline — no Kafka broker ships in this container (COVERAGE
+    honesty note).  The stream construction and JSON projection below are
+    the standard Structured-Streaming Kafka pattern; everything downstream
+    (upsert, windows, joins, persistence) is file/memory-source tested and
+    source-agnostic, so this wrapper is the only unexercised line.
+    Requires the spark-sql-kafka package on the cluster classpath."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "feature_id string, ts timestamp, lon double, lat double, op string",
+        ).alias("m")
+    )
+    return parsed.select("m.feature_id", "m.ts", "m.lon", "m.lat", "m.op").filter(
+        F.col("feature_id").isNotNull() & F.col("ts").isNotNull()
+    )
+
+
 def changelog_upsert(
     changes: DataFrame, ttl_seconds: int | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:
