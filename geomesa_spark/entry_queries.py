@@ -405,7 +405,13 @@ def q_dedup_exact_prefix(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within (lang, source) buckets."""
+    """Token-set Jaccard near-dup pairs within (lang, source) buckets.
+
+    DEMO-scale oracle query (round-1 verdict item: the within-bucket
+    self-join is O(n²) per bucket — a cartesian bomb on a 10⁹-doc
+    bucket).  The production path for the same result is
+    ``minhash_md5_pairs``: identical exact-Jaccard filter, candidates
+    from LSH banding instead of all pairs."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

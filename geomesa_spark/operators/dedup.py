@@ -336,14 +336,16 @@ def minhash_lsh_pairs_jvm(
     toks = _TOKS.format(text=text_col)
     d = df.select(
         F.col(id_col).alias("id"), F.expr(toks).alias("toks")
-    ).filter(F.size("toks") > 0)
+    ).filter(F.size("toks") > 0).persist()
     sig_cols = [
         F.expr(
             f"array_min(transform(toks, t -> md5(concat('{i}|', t))))"
         ).alias(f"sig{i}")
         for i in range(n_sigs)
     ]
-    d = d.select("id", "toks", *sig_cols)
+    # band rows stay NARROW (id, band, key): the token arrays would
+    # otherwise ride the self-join shuffle n_bands× over the whole corpus;
+    # they re-attach to the (much smaller) deduped candidate set instead
     bands = F.array(
         *[
             F.struct(
@@ -355,18 +357,21 @@ def minhash_lsh_pairs_jvm(
             for b in range(n_bands)
         ]
     )
-    e = d.select("id", "toks", F.explode(bands).alias("bk")).select(
-        "id", "toks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    e = (
+        d.select("id", *sig_cols)
+        .select("id", F.explode(bands).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"), F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        pairs.join(d.select(F.col("id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
+        .join(d.select(F.col("id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter

@@ -257,6 +257,12 @@ def xz2_join_points(
 
     Output: all columns of both inputs (minus the key columns).
     """
+    clash = (set(geoms.columns) & set(points.columns)) - {wkt_col}
+    if clash:
+        raise ValueError(
+            f"column name collision between geoms and points: {sorted(clash)} "
+            "— rename/alias before joining"
+        )
     g = encode_geometries(geoms, wkt_col, max_res).persist()
     levels = [r[0] for r in g.select("xz_level").distinct().collect()]
     p = point_level_keys(points, levels, max_res, lon, lat)
