@@ -563,11 +563,23 @@ def _relate_matrix(a, b) -> str | None:
     equal/contains/within/overlap/touch/disjoint; other combos None.
     JTS computes the full matrix; this covers the patterns GeoMesa's
     fixtures exercise — documented approximation)."""
-    P, G = wkt.WKB_POINT, wkt.WKB_POLYGON
+    P, L, G = wkt.WKB_POINT, wkt.WKB_LINESTRING, wkt.WKB_POLYGON
     if a is None or b is None:
         return None
     if a.kind == P and b.kind == P:
         return "0FFFFFFF2" if relate.equals(a, b) else "FF0FFF0F2"
+    if a.kind == P and b.kind == L:
+        lon, lat = float(a.coords[0]), float(a.coords[1])
+        c = np.asarray(b.coords, dtype=np.float64)
+        at_end = any(lon == e[0] and lat == e[1] for e in (c[0], c[-1]))
+        if at_end:
+            return "F0FFFF102"  # point at a line endpoint (boundary)
+        if relate._point_on_line(lon, lat, c):
+            return "0FFFFF102"  # point on the line interior
+        return "FF0FFF102"
+    if a.kind == L and b.kind == P:
+        m = _relate_matrix(b, a)
+        return "".join(m[3 * (i % 3) + i // 3] for i in range(9)) if m else None
     if a.kind == P and b.kind == G:
         cls = relate._pip_one(a.coords[0], a.coords[1], b.coords)
         if cls == kernels.PIP_IN:

@@ -363,3 +363,11 @@ def test_typed_from_text_enforces_kind(spark):
         one(spark, "st_numGeometries(st_mPolyFromText("
                    "'MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))'))") == 1
     )
+
+
+def test_relate_point_line(spark):
+    assert one(spark, f"st_relate(st_point(5D, 5D), {LINE})") == "0FFFFF102"
+    assert one(spark, f"st_relate(st_point(0D, 0D), {LINE})") == "F0FFFF102"
+    assert one(spark, f"st_relate(st_point(5D, 6D), {LINE})") == "FF0FFF102"
+    # transpose direction: line ⊗ point = transpose of point ⊗ line
+    assert one(spark, f"st_relate({LINE}, st_point(5D, 5D))") == "0F1FF0FF2"
