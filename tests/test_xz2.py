@@ -164,3 +164,54 @@ class TestLayout:
         qg = wkt.parse_wkt(q)
         exp = {gid for gid, w in boxes if relate.intersects(qg, wkt.parse_wkt(w))}
         assert got == exp and len(got) > 0
+
+
+class TestGeomGeomJoin:
+    def test_polygon_polygon_matches_bruteforce(self, spark):
+        """Large×large polygon join vs an O(n·m) relate oracle — mixed
+        sizes so both join directions (coarsen-A and coarsen-B) fire."""
+        rng = _rng()
+        big = [
+            (f"A{i}", _box_wkt(x - w / 2, y - h / 2, x + w / 2, y + h / 2))
+            for i, (x, y, w, h) in enumerate(
+                zip(rng.uniform(-100, 100, 25), rng.uniform(-60, 60, 25),
+                    rng.uniform(10, 40, 25), rng.uniform(8, 25, 25))
+            )
+        ]
+        big.append(("A_concave", "POLYGON((0 0, 30 0, 30 30, 15 8, 0 30, 0 0))"))
+        small = [
+            (f"B{i}", _box_wkt(x - w / 2, y - h / 2, x + w / 2, y + h / 2))
+            for i, (x, y, w, h) in enumerate(
+                zip(rng.uniform(-100, 100, 40), rng.uniform(-60, 60, 40),
+                    rng.uniform(0.5, 4, 40), rng.uniform(0.5, 3, 40))
+            )
+        ]
+        ga = spark.createDataFrame(pd.DataFrame(big, columns=["gid_a", "wkt_a"]))
+        gb = spark.createDataFrame(pd.DataFrame(small, columns=["gid_b", "wkt_b"]))
+        out = xz2.xz2_join_geoms(ga, gb, "intersects")
+        rows = out.select("gid_a", "gid_b").collect()
+        got = {(r["gid_a"], r["gid_b"]) for r in rows}
+        assert len(rows) == len(got)
+        exp = {
+            (ia, ib)
+            for ia, wa in big
+            for ib, wb in small
+            if relate.intersects(wkt.parse_wkt(wa), wkt.parse_wkt(wb))
+        }
+        assert got == exp and len(got) > 10
+
+    def test_contains_direction(self, spark):
+        ga = spark.createDataFrame(
+            pd.DataFrame([("A", _box_wkt(0, 0, 20, 20))], columns=["gid_a", "wkt_a"])
+        )
+        gb = spark.createDataFrame(
+            pd.DataFrame(
+                [("in", _box_wkt(2, 2, 5, 5)), ("cross", _box_wkt(15, 15, 30, 30)),
+                 ("out", _box_wkt(40, 40, 50, 50))],
+                columns=["gid_b", "wkt_b"],
+            )
+        )
+        got = {r["gid_b"] for r in xz2.xz2_join_geoms(ga, gb, "contains").collect()}
+        assert got == {"in"}
+        got_i = {r["gid_b"] for r in xz2.xz2_join_geoms(ga, gb, "intersects").collect()}
+        assert got_i == {"in", "cross"}
