@@ -33,6 +33,12 @@ def main() -> None:
     corpus.ensure_events_geo(sf_dir)
 
     spark = get_spark("geomesa-spark-bench", cores=cpus, shuffle_partitions=cpus)
+    # the sf-dir tables are single small parquet files; split scans at
+    # row-group granularity so pre-shuffle stages parallelize across all
+    # cores (a production 100 TB table has thousands of files — this
+    # reproduces that shape, instead of a 1-task single-file bottleneck)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     import __spark_entry__ as entry_mod
 
     entry_mod._ship_package(spark)

@@ -61,8 +61,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sf-dir events table is ONE parquet file with ONE row group, so
+    # every pre-shuffle stage downstream would run as a single task; a
+    # production table arrives as thousands of files, so reproduce that
+    # shape with one tiny repartition (100k rows — ~0.2 s) and let the
+    # heavy stages (cell encode, key explode, refine) use every core.
+    # Partitioning never changes results: all queries are set-compared.
     return (
         _t(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("lon", F.expr(LON_EXPR))
         .withColumn("lat", F.expr(LAT_EXPR))
     )

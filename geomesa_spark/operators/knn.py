@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 
 from .. import cells
 from ..geo import kernels
-from .spatial_join import cell_encode_udf
+from . import spatial_join
 
 _DEG_M = 111_195.0  # meters per degree latitude at R=6371008.8
 
@@ -78,9 +78,7 @@ def knn(
     # cache the encoded table: every expansion round re-joins it, and
     # without the cache each round would rescan + re-encode from source
     # (round-1 verdict item — linear-in-rounds waste)
-    pts = points.withColumn(
-        "cell", cell_encode_udf(res)(F.col("lon"), F.col("lat"))
-    ).persist()
+    pts = spatial_join.add_cell_column(points, res).persist()
 
     centers = {q["query_id"]: (float(q["lon"]), float(q["lat"])) for q in queries}
     want_k = {q["query_id"]: int(q["k"]) for q in queries}

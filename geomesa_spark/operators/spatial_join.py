@@ -286,6 +286,61 @@ def cell_expr(lon, lat, res: int) -> F.Column:
     ).otherwise(cell)
 
 
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def add_cell_column(
+    df: DataFrame, res: int, lon: str = "lon", lat: str = "lat", out: str = "cell"
+) -> DataFrame:
+    """Append the Morton cell id as column ``out`` — the HOT-PATH encode.
+    Rows with null/NaN coordinates are dropped first (the rows
+    :func:`cell_expr` mapped to -1; every consumer joins/filters them
+    away anyway, and the validity predicate pushes down to the scan).
+
+    Why a DataFrame helper instead of one Column expression: the
+    single-expression form substitutes ``c`` twice per interleave step,
+    so the tree doubles 5 times per axis (~2^5 copies of the clamp/floor
+    leaf) and the filter condition inlines a second copy.  The generated
+    whole-stage-codegen method then exceeds HotSpot's huge-method JIT
+    limit and THE WHOLE FUSED STAGE runs in the bytecode interpreter —
+    measured 54 µs/row vs <1 ns/row for the same math JIT-compiled.
+    Chained ``withColumn`` steps keep each intermediate as a named
+    projection (Catalyst's CollapseProject declines to inline aliases
+    referenced twice), so codegen emits each step once as a local.
+    Bit-identical to :func:`geomesa_spark.cells.encode` (parity-tested).
+    """
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    d = df.filter(
+        lon_c.isNotNull() & lat_c.isNotNull() & ~F.isnan(lon_c) & ~F.isnan(lat_c)
+    )
+    n = 1 << res
+    d = d.withColumn(
+        "_gx",
+        F.least(
+            F.greatest(F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(n)), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long"),
+    ).withColumn(
+        "_gy",
+        F.least(
+            F.greatest(F.floor((lat_c + F.lit(90.0)) / F.lit(180.0) * F.lit(n)), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long"),
+    )
+    for c in ("_gx", "_gy"):
+        for s, m in _SPREAD_MASKS:
+            d = d.withColumn(c, (F.col(c).bitwiseOR(F.shiftleft(F.col(c), s))).bitwiseAND(F.lit(m)))
+    return d.withColumn(out, F.col("_gx").bitwiseOR(F.shiftleft(F.col("_gy"), 1))).drop(
+        "_gx", "_gy"
+    )
+
+
 def extract_geo_points(docs: DataFrame) -> DataFrame:
     """documents_spans → one row per geo span with (lon, lat) columns.
 
@@ -301,6 +356,11 @@ def extract_geo_points(docs: DataFrame) -> DataFrame:
         "_geo_wkts", F.expr("transform(filter(spans, s -> s.kind = 'geo'), s -> s.text)")
     )
     g = g.select("*", F.posexplode("_geo_wkts").alias("geo_pos", "_geo_wkt")).drop("_geo_wkts")
+    # two regexp_extract calls run the anchored match twice, but the A/B
+    # measured alternatives slower: a single regexp_replace("$1\x01$2") +
+    # split pays replacement-string allocation, a string != compare and a
+    # second (split) regex — net ~10% worse at 12.8M docs.  Match cost is
+    # NOT the extraction bottleneck; scan+explode of the spans array is.
     lon = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 1)
     lat = F.regexp_extract(F.col("_geo_wkt"), POINT_WKT_RE, 2)
     g = g.withColumn("lon", F.when(lon != "", lon.cast("double"))).withColumn(
@@ -344,7 +404,7 @@ def spatial_join_broadcast(
     spark = points.sparkSession
     ps = PolygonSet.from_rows(polygon_rows)
     cover_df, res_used = ps.cover_frame(spark, res, max_cells)
-    pts = points.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_used))
+    pts = add_cell_column(points, res_used)
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     if not loose:
         joined = joined.filter(
@@ -425,7 +485,7 @@ def spatial_join_documents(
             & (F.col("lat") <= 90.0)
         )
     )
-    g = g.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_used))
+    g = add_cell_column(g, res_used)
     joined = g.join(F.broadcast(cover_df), "cell", "inner")
     if loose:
         # loose skips the exact refine; duplicates across cover cells are
@@ -488,7 +548,7 @@ def dwithin_join_broadcast(
             out[m] = kernels.haversine_m(lons[m], lats[m], clon, clat)
         return pd.Series(out)
 
-    pts = points.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res_common))
+    pts = add_cell_column(points, res_common)
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     joined = joined.withColumn(
         "dist_m", dist_to_center(F.col("lon"), F.col("lat"), F.col(center_id_col))
@@ -533,8 +593,8 @@ def spatial_join_grid(
     plan change for unskewed data.  Pass ``None`` to force it off, or an
     int to pin the threshold.
     """
-    l = left.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
-    r = right.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
+    l = add_cell_column(left, res)
+    r = add_cell_column(right, res)
 
     if salt_threshold == "auto":
         probe = (

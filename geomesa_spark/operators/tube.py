@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 
 from .. import cells
 from ..geo import kernels
-from .spatial_join import cell_encode_udf
+from . import spatial_join
 
 
 def _segments_cover(coords: np.ndarray, buffer_m: float, res: int) -> np.ndarray:
@@ -94,7 +94,7 @@ def tube_select(
             )
         )
 
-    pts = candidates.withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    pts = spatial_join.add_cell_column(candidates, res)
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     joined = joined.withColumn("tube_dist_m", tube_dist(F.col("lon"), F.col("lat"))).filter(
         F.col("tube_dist_m") <= float(buffer_m)
@@ -171,7 +171,7 @@ def route_join(
             out[m] = kernels.point_segments_dist_m(lons[m], lats[m], segs[rr])
         return pd.Series(out)
 
-    pts = points.withColumn("cell", cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    pts = spatial_join.add_cell_column(points, res)
     cand = pts.join(F.broadcast(cover_df), "cell", "inner")
     cand = cand.withColumn("route_dist_m", route_dist(F.col("lon"), F.col("lat"), F.col("route_id")))
     cand = cand.filter(F.col("route_dist_m") <= float(max_dist_m))

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import cells
 from ..geo import kernels, wkt
-from .spatial_join import cell_expr
+from . import spatial_join as cell_mod
 
 #: default finest level for geometry keys.  12 → cells ~0.09° (~10 km);
 #: features smaller than a cell at 12 key there, larger features key at
@@ -161,7 +161,7 @@ def point_level_keys(
         return points.withColumn("xz_level", F.lit(0)).withColumn(
             "xz_cell", F.lit(0).cast("long")
         ).limit(0)
-    p = points.withColumn("_cell_max", cell_expr(F.col(lon), F.col(lat), max_res))
+    p = cell_mod.add_cell_column(points, max_res, lon=lon, lat=lat, out="_cell_max")
     arr = F.array(
         *[
             F.struct(
@@ -174,8 +174,7 @@ def point_level_keys(
         ]
     )
     return (
-        p.filter(F.col("_cell_max") >= 0)
-        .select("*", F.explode(arr).alias("_xz"))
+        p.select("*", F.explode(arr).alias("_xz"))
         .withColumn("xz_level", F.col("_xz.xz_level"))
         .withColumn("xz_cell", F.col("_xz.xz_cell"))
         .drop("_xz", "_cell_max")

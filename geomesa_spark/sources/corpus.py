@@ -270,7 +270,7 @@ def ensure_events_geo(sf_dir: str) -> str:
     path = os.path.join(CACHE_DIR, f"events_geo_n{n}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        pq.write_table(synth_events_geo(sf_dir), tmp)
+        pq.write_table(synth_events_geo(sf_dir), tmp, row_group_size=16384)
         os.replace(tmp, path)
     return path
 
