@@ -245,8 +245,16 @@ def q_z3_bbox_time(spark, sf_dir):
     from .sources.corpus import CACHE_DIR
 
     pts = _event_points(spark, sf_dir).select("event_id", "ts", "lon", "lat")
-    n = pts.count()
-    path = os.path.join(CACHE_DIR, f"z3_events_n{n}")
+    # cache key carries a CONTENT fingerprint, not just the row count:
+    # the layout derives from the driver's events table, which can be
+    # regenerated with the same cardinality but different values — a
+    # count-only key would silently serve the stale layout against a
+    # fresh oracle.
+    fp = pts.agg(
+        F.count("*").alias("n"), F.sum(F.hash("event_id", "ts")).alias("h")
+    ).collect()[0]
+    n = fp["n"]
+    path = os.path.join(CACHE_DIR, f"z3_events_n{n}_h{(fp['h'] or 0) & 0xFFFFFFFF:x}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         planner.write_partitioned(pts, path, res=10, time_col="ts")
     out = planner.query(

@@ -571,6 +571,13 @@ def _relate_matrix(a, b) -> str | None:
     if a.kind == P and b.kind == L:
         lon, lat = float(a.coords[0]), float(a.coords[1])
         c = np.asarray(b.coords, dtype=np.float64)
+        closed = len(c) >= 3 and c[0][0] == c[-1][0] and c[0][1] == c[-1][1]
+        if closed:
+            # mod-2 rule: a closed line has an EMPTY boundary — every
+            # on-line point (including the start/end vertex) is interior
+            if relate._point_on_line(lon, lat, c):
+                return "0FFFFF1F2"
+            return "FF0FFF1F2"
         at_end = any(lon == e[0] and lat == e[1] for e in (c[0], c[-1]))
         if at_end:
             return "F0FFFF102"  # point at a line endpoint (boundary)
@@ -791,10 +798,21 @@ st_isClosed = _per_geom(_is_closed, "boolean")
 
 
 def _line_is_simple(c) -> bool:
-    """No self-intersection between non-adjacent segments (planar)."""
+    """No self-intersection between non-adjacent segments, and no
+    adjacent-segment backtracking (planar)."""
     c = np.asarray(c, dtype=np.float64)
     n = len(c) - 1
     closed = _line_is_closed(c)
+    # adjacent pair check: a spike that retraces its predecessor overlaps
+    # along a whole segment (e.g. (0 0, 1 0, 0 0)) yet shares only the
+    # joint vertex with the non-adjacent test below — detect collinear
+    # opposite-direction successors whose extents overlap past the joint
+    for i in range(n - 1):
+        v1 = c[i + 1] - c[i]
+        v2 = c[i + 2] - c[i + 1]
+        cross = v1[0] * v2[1] - v1[1] * v2[0]
+        if abs(cross) <= 1e-12 and (v1[0] * v2[0] + v1[1] * v2[1]) < 0:
+            return False
     for i in range(n):
         for j in range(i + 2, n):
             if i == 0 and j == n - 1 and closed:
@@ -874,7 +892,7 @@ def st_geometryN(s: pd.Series, idx: pd.Series) -> pd.Series:
     out = []
     for b, i in zip(s.to_numpy(object), idx.to_numpy()):
         g = wkt.wkb_to_geom(b)
-        if g is None:
+        if g is None or i is None or (isinstance(i, float) and np.isnan(i)):
             out.append(None)
             continue
         i = int(i)
@@ -900,6 +918,9 @@ def st_interiorRingN(s: pd.Series, idx: pd.Series) -> pd.Series:
     out = []
     for b, i in zip(s.to_numpy(object), idx.to_numpy()):
         g = wkt.wkb_to_geom(b)
+        if g is None or i is None or (isinstance(i, float) and np.isnan(i)):
+            out.append(None)
+            continue
         i = int(i)
         if g is None or g.kind != wkt.WKB_POLYGON or not (1 <= i <= len(g.coords) - 1):
             out.append(None)

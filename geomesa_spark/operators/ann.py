@@ -47,10 +47,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def train_centroids(
     df: DataFrame, vec_col: str = "embedding", n_centroids: int = 16,
     sample: float = 1.0, iters: int = 10, seed: int = 42,
+    max_train: int = 100_000,
 ) -> np.ndarray:
     """Spherical k-means on a sampled slice → (n_centroids, dim) unit
-    vectors.  Deterministic: seeded init, fixed iteration count."""
-    pdf = df.sample(min(sample, 1.0), seed=seed).select(vec_col).toPandas()
+    vectors.  Deterministic: seeded init, fixed iteration count.
+    ``max_train`` hard-bounds the driver collect regardless of ``sample``
+    — without it the convenience path (sample=1.0) would toPandas() the
+    whole corpus at 100 TB.  Centroid quality only needs a slice; with
+    full probes (n_probe = n_centroids) results are centroid-independent
+    anyway (exact rerank)."""
+    pdf = (
+        df.sample(min(sample, 1.0), seed=seed)
+        .select(vec_col)
+        .limit(int(max_train))
+        .toPandas()
+    )
     m = _normalize(_as_matrix(pdf[vec_col]))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))

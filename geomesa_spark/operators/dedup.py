@@ -416,21 +416,29 @@ def simhash_pairs_jvm(
         F.col(id_col).alias("id"), F.expr(toks).alias("toks")
     ).filter(F.size("toks") > 0)
     d = d.withColumn("vals", F.expr(f"transform(toks, t -> {v})")).drop("toks")
-    # per-bit signed sums → simhash int
+    # per-bit signed sums → simhash BIGINT.  All bit plumbing is true
+    # integer ops (shiftright/&/|): the earlier double-division form
+    # (CAST(x / 2^j AS INT)) loses precision past 2^53, overflows the
+    # 32-bit cast at bit 31, and cannot express the 2^63 literal — i.e.
+    # the documented production setting (n_bits=64) silently broke.
     bit_terms = []
     for j in range(n_bits):
         s = (
             f"aggregate(vals, 0, (acc, x) -> acc + "
-            f"(CASE WHEN (CAST(x / {1 << j} AS INT) % 2) = 1 THEN 1 ELSE -1 END))"
+            f"(CASE WHEN (shiftright(x, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
         )
-        bit_terms.append(f"(CASE WHEN ({s}) >= 0 THEN {1 << j} ELSE 0 END)")
-    d = d.withColumn("simhash", F.expr(" + ".join(bit_terms))).drop("vals")
+        bit_terms.append(
+            f"(CASE WHEN ({s}) >= 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    d = d.withColumn("simhash", F.expr(" | ".join(bit_terms))).drop("vals")
+    block_mask = (1 << bits_per_block) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(bl).alias("block"),
                 F.expr(
-                    f"CAST(simhash / {1 << (bl * bits_per_block)} AS INT) % {1 << bits_per_block}"
+                    f"shiftrightunsigned(simhash, {bl * bits_per_block}) & {block_mask}"
                 ).alias("bval"),
             )
             for bl in range(n_blocks)
@@ -440,11 +448,7 @@ def simhash_pairs_jvm(
         "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.bval").alias("bval")
     )
     a, b = e.alias("a"), e.alias("b")
-    ham = " + ".join(
-        f"(CASE WHEN (CAST(ha / {1 << j} AS INT) % 2) != (CAST(hb / {1 << j} AS INT) % 2) "
-        f"THEN 1 ELSE 0 END)"
-        for j in range(n_bits)
-    )
+    ham = "CAST(bit_count(ha ^ hb) AS INT)"
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.bval") == F.col("b.bval"))
                & (F.col("a.id") < F.col("b.id")))

@@ -132,7 +132,12 @@ def tile_pyramid(
     vs the old one-explode-row-per-zoom shape this cuts the point-side
     groupBy input and shuffle volume by len(zooms)× — the stage the
     round-1 scaling audit flagged as GC-bound.  Partial aggregation stays
-    map-side (DensityScan partial/final shape)."""
+    map-side (DensityScan partial/final shape).
+
+    Note: the persisted base layer stays cached for the session (it is
+    consumed lazily by the returned DataFrame, so this function cannot
+    unpersist it); long-lived sessions issuing many pyramids should
+    ``spark.catalog.clearCache()`` between jobs."""
     zooms = sorted(zooms)
     base_z = zooms[-1]
     aggs = [F.count(F.lit(1)).alias("n")]

@@ -91,6 +91,8 @@ def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
         return [] if c[0] < 0 else [(max_res, int(c[0]))]
     if g.kind == wkt.WKB_MULTIPOLYGON:
         polys = [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
+    elif g.kind == wkt.WKB_MULTILINESTRING:
+        polys = [wkt.Geometry(wkt.WKB_LINESTRING, c) for c in g.coords]
     else:
         polys = [g]
     parts = []
@@ -207,7 +209,26 @@ def pip_refine_udf(predicate: str = "intersects"):
                 continue
             gl, gt = lons[m], lats[m]
             hit = np.zeros(len(gl), dtype=bool)
-            if g.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+            if g.kind == wkt.WKB_POINT:
+                # point-geometry row vs point probe: exact coordinate match
+                # (contains == intersects for point×point)
+                hit = (gl == float(g.coords[0])) & (gt == float(g.coords[1]))
+            elif g.kind == wkt.WKB_MULTIPOINT:
+                for c in np.asarray(g.coords, dtype=np.float64).reshape(-1, 2):
+                    hit |= (gl == c[0]) & (gt == c[1])
+            elif g.kind == wkt.WKB_MULTILINESTRING:
+                for c in g.coords:
+                    d = kernels.point_segments_dist_m(gl, gt, np.asarray(c, dtype=np.float64))
+                    hit |= d <= 1e-6  # contains-boundary nuance n/a per part here
+                if pred == "contains":
+                    # multiline boundary = mod-2 endpoints; conservative:
+                    # exclude probe points at any part endpoint
+                    for c in g.coords:
+                        ends = np.asarray(c, dtype=np.float64)[[0, -1]]
+                        at_end = ((gl[:, None] == ends[None, :, 0]) &
+                                  (gt[:, None] == ends[None, :, 1])).any(axis=1)
+                        hit &= ~at_end
+            elif g.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
                 polys = (
                     [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
                     if g.kind == wkt.WKB_MULTIPOLYGON

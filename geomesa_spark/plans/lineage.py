@@ -48,6 +48,17 @@ def _snapshot_paths(job_dir: str):
     )
 
 
+def _snapshots(snap_dir: str) -> list[str]:
+    """Committed snapshot files only, ordered.  A crash between writing
+    ``snap-N.json.tmp`` and the ``os.replace`` leaves a .tmp that would
+    otherwise sort AFTER the real .json and be read as the current
+    snapshot (truncated JSON -> resume permanently broken) and be counted
+    in the next snapshot's number."""
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(f for f in os.listdir(snap_dir) if f.endswith(".json"))
+
+
 def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
     """Buckets already committed.  ``epoch=None`` (batch job resume) counts a
     bucket done if ANY manifest committed it; with an ``epoch`` (streaming
@@ -57,7 +68,7 @@ def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
     snap_dir, man_dir, _ = _snapshot_paths(job_dir)
     if not os.path.isdir(snap_dir):
         return set()
-    snaps = sorted(os.listdir(snap_dir))
+    snaps = _snapshots(snap_dir)
     if not snaps:
         return set()
     with open(os.path.join(snap_dir, snaps[-1])) as f:
@@ -145,8 +156,8 @@ def run_partitioned_job(
 
     # commit: manifest file + snapshot (atomic rename)
     prev_manifests = []
-    if os.path.isdir(snap_dir) and sorted(os.listdir(snap_dir)):
-        with open(os.path.join(snap_dir, sorted(os.listdir(snap_dir))[-1])) as f:
+    if _snapshots(snap_dir):
+        with open(os.path.join(snap_dir, _snapshots(snap_dir)[-1])) as f:
             prev_manifests = json.load(f)["manifests"]
     new_manifest = None
     if len(manifest_pdf):
@@ -154,7 +165,7 @@ def run_partitioned_job(
         tmp = os.path.join(man_dir, new_manifest + ".tmp")
         manifest_pdf.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(man_dir, new_manifest))
-    n_snap = len(os.listdir(snap_dir)) if os.path.isdir(snap_dir) else 0
+    n_snap = len(_snapshots(snap_dir))
     snap = {
         "sequence": seq if seq is not None else n_snap,
         "manifests": prev_manifests + ([new_manifest] if new_manifest else []),
@@ -180,7 +191,7 @@ def job_metrics(job_dir: str) -> pd.DataFrame:
     """All lineage records of the current snapshot (per-partition input
     range, row counts, checksums) — the north_rule's 'lineage + metrics'."""
     snap_dir, man_dir, _ = _snapshot_paths(job_dir)
-    snaps = sorted(os.listdir(snap_dir)) if os.path.isdir(snap_dir) else []
+    snaps = _snapshots(snap_dir)
     if not snaps:
         return pd.DataFrame()
     with open(os.path.join(snap_dir, snaps[-1])) as f:

@@ -233,7 +233,12 @@ def write_avro(df, path: str, mode: str = "overwrite") -> None:
     import pyspark.sql.functions as F  # noqa: F401
 
     schema = schema_from_spark(df)
-    if os.path.isdir(path) and mode == "overwrite":
+    if mode not in ("overwrite", "error", "errorifexists"):
+        # append would clobber same-numbered part files -> corrupt mix
+        raise ValueError(f"write_avro supports mode='overwrite' or 'error', got {mode!r}")
+    if os.path.isdir(path):
+        if mode in ("error", "errorifexists"):
+            raise FileExistsError(path)
         import shutil
 
         shutil.rmtree(path)

@@ -67,6 +67,21 @@ def test_simhash_pairs(spark, near_dup_df):
     assert ("d001", "d902") in got  # near dup within ball
 
 
+def test_simhash_jvm_64bit_production_setting(spark, near_dup_df):
+    """The documented production path (n_bits=64, n_blocks=8) — round-2
+    review found the old double-division bit plumbing overflowed/lost
+    precision there (only the 16-bit demo worked)."""
+    pairs = dedup.simhash_pairs_jvm(
+        near_dup_df, text_col="text", id_col="doc_id",
+        n_bits=64, n_blocks=8, max_hamming=7,
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert ("d000", "d900") in rows  # exact dup -> identical 64-bit hash
+    assert rows[("d000", "d900")] == 0
+    for h in rows.values():
+        assert 0 <= h <= 7
+
+
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(11)
     base = rng.normal(size=(40, 32))

@@ -173,6 +173,13 @@ class TestRelateClosest:
         # JTS crosses pattern for line×line: 0********
         assert one(spark, f"st_relateBool({horiz}, {cross}, '0********')") is True
 
+    def test_relate_point_closed_line(self, spark):
+        ring = "st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1, 0 0)')"
+        # mod-2 rule: closed line has an empty boundary — the start vertex
+        # is INTERIOR, and EB is F for any point
+        assert one(spark, f"st_relate(st_point(0D, 0D), {ring})") == "0FFFFF1F2"
+        assert one(spark, f"st_relate(st_point(5D, 5D), {ring})") == "FF0FFF1F2"
+
     def test_relate_line_polygon(self, spark):
         square = "st_geomFromWKT('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')"
         through = "st_geomFromWKT('LINESTRING(-1 0.5, 2 0.5)')"
@@ -295,6 +302,10 @@ class TestRound2Accessors:
             (f"st_isClosed({POLY})", True),
             (f"st_isSimple({LINE})", True),
             ("st_isSimple(st_geomFromWKT('LINESTRING(0 0, 2 2, 2 0, 0 2)'))", False),
+            # adjacent-segment backtracking (spike) — round-2 review fix
+            ("st_isSimple(st_geomFromWKT('LINESTRING(0 0, 1 0, 0 0)'))", False),
+            # NULL index must yield NULL, not crash the Arrow batch
+            (f"st_geometryN({MPOLY}, CAST(NULL AS INT)) IS NULL", True),
             ("st_isRing(st_geomFromWKT('LINESTRING(0 0, 1 0, 1 1, 0 0)'))", True),
             (f"st_isRing({LINE})", False),
             # figure-eight: closed but not simple

@@ -134,6 +134,35 @@ class TestJoin:
         out_c = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "contains")
         assert {r["point_id"] for r in out_c.collect()} == {0}  # endpoint excluded
 
+    def test_point_multipoint_multiline_geometry_rows(self, spark):
+        # round-2 review fix: point/multipoint rows keyed but never refined
+        # (hit stayed all-False); multiline rows dropped at keying
+        geoms = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    ("P", "POINT(10 10)"),
+                    ("MP", "MULTIPOINT((20 20), (21 21))"),
+                    ("ML", "MULTILINESTRING((30 30, 31 30), (32 30, 33 30))"),
+                ],
+                columns=["geom_id", "wkt"],
+            )
+        )
+        pts = pd.DataFrame(
+            {
+                "point_id": [0, 1, 2, 3, 4],
+                "lon": [10.0, 21.0, 30.5, 33.0, 50.0],
+                "lat": [10.0, 21.0, 30.0, 30.0, 50.0],
+            }
+        )
+        out = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "intersects")
+        got = {(r["geom_id"], r["point_id"]) for r in out.collect()}
+        assert got == {("P", 0), ("MP", 1), ("ML", 2), ("ML", 3)}
+        out_c = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "contains")
+        got_c = {(r["geom_id"], r["point_id"]) for r in out_c.collect()}
+        # contains: multiline part endpoints excluded (boundary); points
+        # contain their exact coordinate
+        assert got_c == {("P", 0), ("MP", 1), ("ML", 2)}
+
 
 class TestLayout:
     @pytest.fixture(scope="class")
