@@ -1,0 +1,46 @@
+"""Bounded operator-cache registry.
+
+Several operators persist() an intermediate that the returned (lazy)
+DataFrame still depends on — e.g. the XZ2 joins cache the Arrow-encoded
+geometry keys so the driver-side level collect and the join itself pay
+the WKT parse once.  The function cannot unpersist before returning (the
+consumer hasn't executed yet), so round 2 leaked one cached RDD per call
+in long sessions (ADVICE round 2, low).
+
+Policy here: each call site registers its persisted frame under a stable
+key; registering unpersists the PREVIOUS frame under the same key first.
+A session therefore holds at most ONE cached intermediate per operator —
+the latest call's, which is exactly the one still useful.  Single-driver-
+thread assumption (same as Spark's own temp-view semantics); concurrent
+drivers should pass distinct keys.  ``clear_caches()`` drops everything
+(used by benches between reps alongside ``spark.catalog.clearCache()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LAST: dict[str, DataFrame] = {}
+
+
+def swap_cache(key: str, df: DataFrame) -> DataFrame:
+    """persist() ``df`` after unpersisting whatever was cached under
+    ``key`` by a previous call.  Returns the persisted frame."""
+    prev = _LAST.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session may be stopped; nothing to free
+    _LAST[key] = df.persist()
+    return _LAST[key]
+
+
+def clear_caches() -> None:
+    """Unpersist every registered intermediate (bench/test hygiene)."""
+    for df in list(_LAST.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LAST.clear()

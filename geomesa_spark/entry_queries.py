@@ -724,13 +724,24 @@ def _minhash_md5_sql(n_sigs: int = 12, n_bands: int = 4, pct: int = 50) -> str:
 
 
 def _simhash_md5_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
-    hex4 = " + ".join(
-        f"(instr('0123456789abcdef', substring(md5(t), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-        for k in range(4)
+    # bit j derives from hex group j // 16 of md5(token) — mirrors
+    # dedup.simhash_values_jvm exactly (DuckDB BIGINT caps this twin at
+    # n_bits ≤ 62; the 64-bit Spark tier is pytest-verified instead)
+    n_groups = (n_bits + 15) // 16
+
+    def hex4(g: int) -> str:
+        return " + ".join(
+            f"(instr('0123456789abcdef', substring(md5(t), {4 * g + k + 1}, 1)) - 1)"
+            f" * {16 ** (3 - k)}"
+            for k in range(4)
+        )
+
+    vals_cols = ", ".join(
+        f"list_transform(toks, t -> {hex4(g)}) AS vals{g}" for g in range(n_groups)
     )
     bit_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(vals, x -> "
-        f"CASE WHEN (CAST(floor(x / {1 << j}) AS INT) % 2) = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"(CASE WHEN list_sum(list_transform(vals{j // 16}, x -> "
+        f"CASE WHEN (CAST(floor(x / {1 << (j % 16)}) AS INT) % 2) = 1 THEN 1 ELSE -1 END)) >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(n_bits)
     )
@@ -746,7 +757,7 @@ def _simhash_md5_sql(n_bits: int = 16, max_hamming: int = 3) -> str:
                                            x -> len(x) > 0)) AS toks
           FROM documents),
         d2 AS (SELECT id, toks FROM d WHERE len(toks) > 0),
-        v AS (SELECT id, list_transform(toks, t -> {hex4}) AS vals FROM d2),
+        v AS (SELECT id, {vals_cols} FROM d2),
         h AS (SELECT id, {bit_terms} AS simhash FROM v),
         p AS (SELECT a.id AS doc_a, b.id AS doc_b, a.simhash AS ha, b.simhash AS hb
               FROM h a JOIN h b ON a.id < b.id)

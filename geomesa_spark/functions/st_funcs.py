@@ -975,6 +975,10 @@ def st_makePointM(x: pd.Series, y: pd.Series, m: pd.Series) -> pd.Series:
 
 
 def _geojson_to_geom(obj) -> wkt.Geometry | None:
+    if not isinstance(obj, dict):
+        # valid JSON that isn't an object ('null', '123', '[1,2]') is not
+        # a GeoJSON geometry — null out, don't fail the Arrow batch
+        return None
     t = obj.get("type")
     c = obj.get("coordinates")
     if t == "GeometryCollection":
@@ -1011,7 +1015,7 @@ def st_geomFromGeoJSON(s: pd.Series) -> pd.Series:
     for t in s.to_numpy(object):
         try:
             out.append(wkt.geom_to_wkb(_geojson_to_geom(json.loads(t))))
-        except (TypeError, ValueError, KeyError, IndexError):
+        except (TypeError, ValueError, KeyError, IndexError, AttributeError):
             out.append(None)
     return pd.Series(out, dtype=object)
 

@@ -62,6 +62,8 @@ def train_centroids(
         .limit(int(max_train))
         .toPandas()
     )
+    if len(pdf) == 0:  # empty corpus/sample: no centroids (ADVICE round 2)
+        return np.zeros((0, 0))
     m = _normalize(_as_matrix(pdf[vec_col]))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(m))
@@ -82,6 +84,8 @@ def ivf_assign(
 ) -> DataFrame:
     """One pass: each vector → its nearest centroid id (cosine argmax)."""
     cents = centroids  # closure-shipped; tiny
+    if cents.size == 0:  # no centroids (empty training corpus)
+        return df.withColumn("cluster", F.lit(-1).cast("int"))
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -101,6 +105,17 @@ def ivf_topk(
     """(query_id, rank, id, sim) — top-k by exact cosine within the probed
     clusters.  ``queries`` is the SMALL side (collected + broadcast)."""
     qpdf = queries.select(query_id, query_vec).toPandas()
+    if len(qpdf) == 0 or len(centroids) == 0:
+        # empty queries or empty index: typed empty (query_id, rank, id,
+        # sim) frame — createDataFrame(pd.DataFrame([])) cannot infer a
+        # schema (ADVICE round 2, low), so derive it from the inputs
+        return (
+            queries.limit(0).select(F.col(query_id).alias("query_id"))
+            .crossJoin(indexed.limit(0).select(id_col))
+            .withColumn("rank", F.lit(0).cast("int"))
+            .withColumn("sim", F.lit(0.0))
+            .select("query_id", "rank", id_col, "sim")
+        )
     qm = _normalize(_as_matrix(qpdf[query_vec]))
     n_probe = min(n_probe, len(centroids))
     order = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]

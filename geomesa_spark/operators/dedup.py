@@ -110,11 +110,19 @@ def minhash_lsh_pairs(
     identical-text floods collapse into the same bucket and are handled
     by the exact verify's pair dedupe).
     """
+    from ..cache import swap_cache
+
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).cache()
+    sigs = swap_cache(
+        "minhash_lsh_pairs.sigs",
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_k),
+    )
+    # band rows stay NARROW (id, band, bucket) — the 64-long sig arrays
+    # would otherwise ride the self-join shuffle bands× over the whole
+    # corpus (round-2 verdict item 5); they re-attach to the (much
+    # smaller) deduped candidate set below, mirroring the JVM tier.
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -126,7 +134,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -137,13 +145,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     # estimated Jaccard = fraction of matching signature slots (JVM-side)
     est = F.expr(
@@ -190,9 +195,11 @@ def simhash_pairs(
     generation: split 64 bits into k+1 blocks; any pair within distance k
     agrees exactly on ≥1 block (pigeonhole) → equi-join per block, then
     exact popcount verify.  Shuffles only on 16-bit block keys."""
+    from ..cache import swap_cache
+
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = simhash_bits(df, text_col, id_col).cache()
+    sh = swap_cache("simhash_pairs.bits", simhash_bits(df, text_col, id_col))
     blocks = sh.select(
         "id",
         "simhash",
@@ -332,11 +339,16 @@ def minhash_lsh_pairs_jvm(
     ``minhash_lsh_pairs`` remains the high-throughput tier; this one
     trades ~2× hash cost for engine-portable determinism.)
     """
+    from ..cache import swap_cache
+
     rows = n_sigs // n_bands
     toks = _TOKS.format(text=text_col)
-    d = df.select(
-        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
-    ).filter(F.size("toks") > 0).persist()
+    d = swap_cache(
+        "minhash_lsh_pairs_jvm.toks",
+        df.select(F.col(id_col).alias("id"), F.expr(toks).alias("toks")).filter(
+            F.size("toks") > 0
+        ),
+    )
     sig_cols = [
         F.expr(
             f"array_min(transform(toks, t -> md5(concat('{i}|', t))))"
@@ -383,15 +395,55 @@ def minhash_lsh_pairs_jvm(
     )
 
 
-def _hex4_to_int_expr(hexpr: str) -> str:
-    """First 4 hex chars of a hex string → int (portable: instr-based, no
-    conv(), so the same arithmetic exists in DuckDB)."""
+def _hex4_to_int_expr(hexpr: str, group: int = 0) -> str:
+    """Hex chars [4·group, 4·group+4) of a hex string → int (portable:
+    instr-based, no conv(), so the same arithmetic exists in DuckDB).
+    md5 has 32 hex chars → groups 0..7 each yield 16 independent bits."""
     terms = []
     for k in range(4):
         terms.append(
-            f"(instr('0123456789abcdef', substring({hexpr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+            f"(instr('0123456789abcdef', substring({hexpr}, {4 * group + k + 1}, 1)) - 1)"
+            f" * {16 ** (3 - k)}"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def simhash_values_jvm(df: DataFrame, text_col: str, id_col: str, n_bits: int) -> DataFrame:
+    """(id, simhash) — the shared hash stage of :func:`simhash_pairs_jvm`,
+    exposed for direct testing.  Bit j of a token's weight vector comes
+    from hex group j // 16 of md5(token) (4 hex chars = 16 independent
+    bits per group; md5's 32 chars support n_bits ≤ 128) — the round-2
+    version derived EVERY bit from the first 4 hex chars, so for
+    n_bits > 16 the high bits were the constant sign of an all-negative
+    sum (always 0) and the hash discriminated on 16 bits only
+    (ADVICE round 2, medium)."""
+    assert 1 <= n_bits <= 128, "md5 supplies at most 128 independent bits"
+    n_groups = (n_bits + 15) // 16
+    toks = _TOKS.format(text=text_col)
+    d = df.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
+    ).filter(F.size("toks") > 0)
+    for g in range(n_groups):
+        v = _hex4_to_int_expr("md5(t)", group=g)
+        d = d.withColumn(f"vals{g}", F.expr(f"transform(toks, t -> {v})"))
+    d = d.drop("toks")
+    # per-bit signed sums → simhash BIGINT.  All bit plumbing is true
+    # integer ops (shiftright/&/|): the earlier double-division form
+    # (CAST(x / 2^j AS INT)) loses precision past 2^53, overflows the
+    # 32-bit cast at bit 31, and cannot express the 2^63 literal — i.e.
+    # the documented production setting (n_bits=64) silently broke.
+    bit_terms = []
+    for j in range(n_bits):
+        g, jj = j // 16, j % 16
+        s = (
+            f"aggregate(vals{g}, 0, (acc, x) -> acc + "
+            f"(CASE WHEN (shiftright(x, {jj}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"(CASE WHEN ({s}) >= 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return d.withColumn("simhash", F.expr(" | ".join(bit_terms))).select("id", "simhash")
 
 
 def simhash_pairs_jvm(
@@ -402,36 +454,17 @@ def simhash_pairs_jvm(
     ``max_hamming < n_blocks`` the pigeonhole block join is complete (two
     hashes within the Hamming ball must agree on ≥1 block), so the output
     equals the brute-force n² answer — a provable identity the DuckDB twin
-    checks.  Bit j of a token's weight vector comes from the first 16 bits
-    of md5(token); the document hash is the sign of the per-bit sum.
+    checks.  Bit j of a token's weight vector comes from hex group j // 16
+    of md5(token) (:func:`simhash_values_jvm`); the document hash is the
+    sign of the per-bit sum.
 
     Scale knobs: 16 bits / 4 blocks here keeps the SQL twin small; a
-    production corpus uses n_bits=64, n_blocks=8 (same code path).
+    production corpus uses n_bits=64, n_blocks=8 (same code path — the
+    64-bit tier is pytest-verified against a hashlib/numpy oracle).
     """
     assert max_hamming < n_blocks, "pigeonhole completeness requires h < blocks"
     bits_per_block = n_bits // n_blocks
-    toks = _TOKS.format(text=text_col)
-    v = _hex4_to_int_expr("md5(t)")
-    d = df.select(
-        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
-    ).filter(F.size("toks") > 0)
-    d = d.withColumn("vals", F.expr(f"transform(toks, t -> {v})")).drop("toks")
-    # per-bit signed sums → simhash BIGINT.  All bit plumbing is true
-    # integer ops (shiftright/&/|): the earlier double-division form
-    # (CAST(x / 2^j AS INT)) loses precision past 2^53, overflows the
-    # 32-bit cast at bit 31, and cannot express the 2^63 literal — i.e.
-    # the documented production setting (n_bits=64) silently broke.
-    bit_terms = []
-    for j in range(n_bits):
-        s = (
-            f"aggregate(vals, 0, (acc, x) -> acc + "
-            f"(CASE WHEN (shiftright(x, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
-        )
-        bit_terms.append(
-            f"(CASE WHEN ({s}) >= 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
-            f"ELSE CAST(0 AS BIGINT) END)"
-        )
-    d = d.withColumn("simhash", F.expr(" | ".join(bit_terms))).drop("vals")
+    d = simhash_values_jvm(df, text_col, id_col, n_bits)
     block_mask = (1 << bits_per_block) - 1
     blocks = F.array(
         *[

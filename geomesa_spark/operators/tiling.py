@@ -134,10 +134,11 @@ def tile_pyramid(
     round-1 scaling audit flagged as GC-bound.  Partial aggregation stays
     map-side (DensityScan partial/final shape).
 
-    Note: the persisted base layer stays cached for the session (it is
-    consumed lazily by the returned DataFrame, so this function cannot
-    unpersist it); long-lived sessions issuing many pyramids should
-    ``spark.catalog.clearCache()`` between jobs."""
+    Note: the persisted base layer is consumed lazily by the returned
+    DataFrame, so this function cannot unpersist it; it registers in the
+    bounded cache registry (:mod:`geomesa_spark.cache`) instead — the next
+    ``tile_pyramid`` call frees the previous base layer, so long sessions
+    hold at most one."""
     zooms = sorted(zooms)
     base_z = zooms[-1]
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -151,7 +152,9 @@ def tile_pyramid(
         .agg(*aggs)
     )
     if len(zooms) > 1:
-        base = base.persist()
+        from ..cache import swap_cache
+
+        base = swap_cache("tile_pyramid.base", base)
     sum_aggs = [F.sum("n").alias("n")]
     if weight is not None:
         sum_aggs.append(F.sum("weight_sum").alias("weight_sum"))

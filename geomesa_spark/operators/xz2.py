@@ -79,6 +79,22 @@ def _bbox_corner_cells(
     return np.unique(cells.encode(lons, lats, level))
 
 
+def _flatten_parts(g: wkt.Geometry) -> list[wkt.Geometry]:
+    """Geometry → flat list of simple parts (point/line/polygon), recursing
+    into MULTI* and GEOMETRYCOLLECTION members (a collection row was
+    silently dropped from the index before — ADVICE round 2, low)."""
+    if g.kind == wkt.WKB_MULTIPOLYGON:
+        return [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
+    if g.kind == wkt.WKB_MULTILINESTRING:
+        return [wkt.Geometry(wkt.WKB_LINESTRING, c) for c in g.coords]
+    if g.kind == wkt.WKB_COLLECTION:
+        out: list[wkt.Geometry] = []
+        for member in g.coords:
+            out.extend(_flatten_parts(member))
+        return out
+    return [g]
+
+
 def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
     """Driver/executor-shared key computation for ONE geometry: parse,
     antimeridian-split, common natural level over parts, distinct corner
@@ -89,24 +105,23 @@ def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
     if g.kind == wkt.WKB_POINT:
         c = cells.encode(np.asarray([g.coords[0]]), np.asarray([g.coords[1]]), max_res)
         return [] if c[0] < 0 else [(max_res, int(c[0]))]
-    if g.kind == wkt.WKB_MULTIPOLYGON:
-        polys = [wkt.Geometry(wkt.WKB_POLYGON, p) for p in g.coords]
-    elif g.kind == wkt.WKB_MULTILINESTRING:
-        polys = [wkt.Geometry(wkt.WKB_LINESTRING, c) for c in g.coords]
-    else:
-        polys = [g]
     parts = []
-    for poly in polys:
+    for poly in _flatten_parts(g):
         parts.extend(wkt.antimeridian_split(poly) if poly.kind == wkt.WKB_POLYGON else [poly])
     boxes = []
     for p in parts:
         if p.kind == wkt.WKB_POLYGON:
             boxes.append(kernels.bbox_of_rings(p.rings()))
+        elif p.kind == wkt.WKB_POINT:
+            x, y = float(p.coords[0]), float(p.coords[1])
+            boxes.append((x, y, x, y))
         elif p.kind in (wkt.WKB_LINESTRING, wkt.WKB_MULTIPOINT):
             xy = np.asarray(p.coords, dtype=np.float64)
             boxes.append((xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()))
         else:
             return []
+    if not boxes:
+        return []
     ws = np.asarray([b[2] - b[0] for b in boxes])
     hs = np.asarray([b[3] - b[1] for b in boxes])
     level = int(bbox_level(ws, hs, max_res).min())
@@ -202,14 +217,15 @@ def pip_refine_udf(predicate: str = "intersects"):
         lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         out = np.zeros(len(lons), dtype=bool)
         codes, uniques = pd.factorize(wkt_s, use_na_sentinel=True)
-        for ui, w in enumerate(uniques):
-            m = codes == ui
-            g = wkt.parse_wkt(w)
-            if g is None:
-                continue
-            gl, gt = lons[m], lats[m]
+
+        def hit_of(g: wkt.Geometry, gl: np.ndarray, gt: np.ndarray) -> np.ndarray:
             hit = np.zeros(len(gl), dtype=bool)
-            if g.kind == wkt.WKB_POINT:
+            if g.kind == wkt.WKB_COLLECTION:
+                # union-of-members semantics (a point on a shared member
+                # boundary counts per-member — documented narrowing)
+                for member in g.coords:
+                    hit |= hit_of(member, gl, gt)
+            elif g.kind == wkt.WKB_POINT:
                 # point-geometry row vs point probe: exact coordinate match
                 # (contains == intersects for point×point)
                 hit = (gl == float(g.coords[0])) & (gt == float(g.coords[1]))
@@ -251,7 +267,14 @@ def pip_refine_udf(predicate: str = "intersects"):
                     hit = on_line & ~at_end
                 else:
                     hit = on_line
-            out[m] = hit
+            return hit
+
+        for ui, w in enumerate(uniques):
+            m = codes == ui
+            g = wkt.parse_wkt(w)
+            if g is None:
+                continue
+            out[m] = hit_of(g, lons[m], lats[m])
         return pd.Series(out)
 
     return refine
@@ -283,7 +306,12 @@ def xz2_join_points(
             f"column name collision between geoms and points: {sorted(clash)} "
             "— rename/alias before joining"
         )
-    g = encode_geometries(geoms, wkt_col, max_res).persist()
+    # persisted via the bounded registry: the level collect and the join
+    # both consume the Arrow-encoded keys; the NEXT xz2_join_points call
+    # frees this cache (no unbounded leak across repeated calls)
+    from ..cache import swap_cache
+
+    g = swap_cache("xz2_join_points.geoms", encode_geometries(geoms, wkt_col, max_res))
     levels = [r[0] for r in g.select("xz_level").distinct().collect()]
     p = point_level_keys(points, levels, max_res, lon, lat)
     joined = p.join(g, ["xz_level", "xz_cell"], "inner")
@@ -345,12 +373,20 @@ def xz2_join_geoms(
     Coarsened cells can coincide, so pairs dedupe on (id_a, id_b) before
     the exact relate refine (candidates only).
     """
-    a = encode_geometries(geoms_a, wkt_a, max_res).withColumnsRenamed(
-        {"xz_level": "la", "xz_cell": "ca"}
-    ).persist()
-    b = encode_geometries(geoms_b, wkt_b, max_res).withColumnsRenamed(
-        {"xz_level": "lb", "xz_cell": "cb"}
-    ).persist()
+    from ..cache import swap_cache
+
+    a = swap_cache(
+        "xz2_join_geoms.a",
+        encode_geometries(geoms_a, wkt_a, max_res).withColumnsRenamed(
+            {"xz_level": "la", "xz_cell": "ca"}
+        ),
+    )
+    b = swap_cache(
+        "xz2_join_geoms.b",
+        encode_geometries(geoms_b, wkt_b, max_res).withColumnsRenamed(
+            {"xz_level": "lb", "xz_cell": "cb"}
+        ),
+    )
     levels_b = sorted(r[0] for r in b.select("lb").distinct().collect())
     levels_a = sorted(r[0] for r in a.select("la").distinct().collect())
 

@@ -67,6 +67,29 @@ def test_partial_probe_recall(spark, clustered):
     assert hits / total >= 0.9
 
 
+def test_empty_queries_and_empty_corpus(spark, clustered):
+    """ADVICE round 2 (low): empty query/corpus frames used to crash
+    createDataFrame schema inference / argmax-over-empty; both now
+    early-return a typed empty (query_id, rank, vec_id, sim) frame."""
+    df, pdf = clustered
+    empty_q = spark.createDataFrame(
+        pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                      "qemb": pd.Series([], dtype=object)}),
+        schema="query_id long, qemb array<double>",
+    )
+    out = ann.ann_ivf(df, empty_q, k=5, n_centroids=8, n_probe=8)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "vec_id", "sim"]
+
+    empty_c = df.limit(0)
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "qemb": [pdf["embedding"].iloc[0]]})
+    )
+    out2 = ann.ann_ivf(empty_c, q, k=5, n_centroids=8, n_probe=8)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "rank", "vec_id", "sim"]
+
+
 def test_deterministic(spark, clustered):
     df, pdf = clustered
     qpdf = pd.DataFrame({"query_id": [3], "qemb": [pdf["embedding"].iloc[3]]})

@@ -82,6 +82,52 @@ def test_simhash_jvm_64bit_production_setting(spark, near_dup_df):
         assert 0 <= h <= 7
 
 
+def _simhash_py(text: str, n_bits: int) -> int:
+    """Independent hashlib oracle for simhash_values_jvm: bit j from hex
+    group j // 16 of md5(token), sign of the signed token sum."""
+    import hashlib
+
+    toks = sorted({t for t in text.lower().split() if t})
+    val = 0
+    for j in range(n_bits):
+        g, jj = j // 16, j % 16
+        s = 0
+        for t in toks:
+            v = int(hashlib.md5(t.encode()).hexdigest()[4 * g: 4 * g + 4], 16)
+            s += 1 if (v >> jj) & 1 else -1
+        if s >= 0:
+            val |= 1 << j
+    return val
+
+
+def test_simhash_jvm_64bit_matches_hashlib_oracle(spark):
+    """ADVICE round 2 (medium): bits ≥ 16 used to derive from the SAME 4
+    hex chars as bits 0-15, so the top 48 bits of every 64-bit hash were a
+    constant 0 and 6 of 8 pigeonhole blocks matched every pair.  The fix
+    takes bit j from hex group j // 16; this pins the per-document hash to
+    an independent hashlib/python oracle and asserts the high bits vary.
+    Docs here carry DISTINCT token sets (simhash is a set hash — the
+    shared near_dup_df fixture draws from a 10-word vocab, so most of its
+    docs legitimately collide to one hash)."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"s{i:02d}", " ".join(f"tok{v}" for v in rng.choice(500, 12, replace=False)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_values_jvm(df, "text", "doc_id", 64).collect()
+    }
+    for doc_id, text in rows:
+        expect = _simhash_py(text, 64)
+        # Spark BIGINT is signed; compare as unsigned 64-bit
+        assert got[doc_id] & 0xFFFFFFFFFFFFFFFF == expect, doc_id
+    # high 48 bits must discriminate across distinct token sets
+    high = {(h >> 16) & 0xFFFFFFFFFFFF for h in got.values()}
+    assert len(high) > len(got) // 2
+
+
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(11)
     base = rng.normal(size=(40, 32))

@@ -352,6 +352,13 @@ class TestRound2Accessors:
         assert one(spark, f"st_x(st_geomFromGeoJSON('{jp}'))") == 3.5
         assert one(spark, "st_geomFromGeoJSON('not json')") is None
 
+    def test_geom_from_geojson_non_dict_json(self, spark):
+        """Valid JSON that is not an object must null out, not fail the
+        Arrow batch (ADVICE round 2: 'null'/'123'/'[1,2]' raised
+        AttributeError through the old except tuple)."""
+        for j in ("null", "123", "[1,2]", '"point"', '{"type": [1]}'):
+            assert one(spark, f"st_geomFromGeoJSON('{j}')") is None
+
     def test_spheroid_distance_and_length(self, spark):
         # canonical WGS84 values: 1 degree of longitude at the equator is
         # 111.3195 km; 1 degree of latitude at the equator is 110.5744 km

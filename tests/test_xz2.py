@@ -163,6 +163,25 @@ class TestJoin:
         # contain their exact coordinate
         assert got_c == {("P", 0), ("MP", 1), ("ML", 2)}
 
+    def test_geometrycollection_rows_indexed_and_joined(self, spark):
+        """ADVICE round 2 (low): a GEOMETRYCOLLECTION row was silently
+        dropped from the XZ2 index; now its members key and refine."""
+        gc = ("GC", "GEOMETRYCOLLECTION(POINT(40 40), "
+              "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)), "
+              "LINESTRING(20 20, 25 20))")
+        geoms = spark.createDataFrame(pd.DataFrame([gc], columns=["geom_id", "wkt"]))
+        assert len(xz2.geometry_keys(gc[1], xz2.DEFAULT_MAX_RES)) >= 1
+        pts = pd.DataFrame(
+            {
+                "point_id": [0, 1, 2, 3],
+                "lon": [40.0, 5.0, 22.0, 70.0],
+                "lat": [40.0, 5.0, 20.0, 70.0],
+            }
+        )
+        out = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "intersects")
+        got = {(r["geom_id"], r["point_id"]) for r in out.collect()}
+        assert got == {("GC", 0), ("GC", 1), ("GC", 2)}
+
 
 class TestLayout:
     @pytest.fixture(scope="class")
