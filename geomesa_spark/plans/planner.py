@@ -146,6 +146,39 @@ def write_partitioned(
     )
 
 
+def _merge_fine_ranges(ranges: list[tuple[int, int]], max_ranges: int) -> list[tuple[int, int]]:
+    """Sort + coalesce overlapping/adjacent [lo, hi] cell ranges, then —
+    GeoMesa's ``sfc.ranges(..., maxRanges)`` budget — if more than
+    ``max_ranges`` remain, close the SMALLEST gaps first until the budget
+    holds.  Closing a gap only ADDS false-positive cells (completeness is
+    preserved; the refine stage removes them)."""
+    if not ranges:
+        return []
+    ranges = sorted(ranges)
+    merged: list[list[int]] = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if len(merged) > max_ranges:
+        # keep the max_ranges-1 LARGEST gaps as breaks; close the rest
+        gaps = sorted(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+            reverse=True,
+        )
+        breaks = sorted(gaps[: max_ranges - 1])
+        out: list[tuple[int, int]] = []
+        start = merged[0][0]
+        for i in breaks:
+            out.append((start, merged[i][1]))
+            start = merged[i + 1][0]
+        out.append((start, merged[-1][1]))
+        return out
+    return [(lo, hi) for lo, hi in merged]
+
+
 def scan_partitioned(
     spark: SparkSession,
     path: str,
@@ -155,35 +188,56 @@ def scan_partitioned(
     max_cells: int = 4096,
     time_range: tuple[str, str] | None = None,
     time_bin_days: int = TIME_BIN_DAYS,
+    max_ranges: int = 32,
 ) -> DataFrame:
-    """Pruned scan: geometry → cover at bucket_res → partition filter →
-    fine cell range filter (row-group pruning) → candidate rows.
+    """Pruned scan: geometry → cover at the FINE resolution ``res``
+    (budgeted) → (a) ``cell_bucket`` partition filter from the cover's
+    ancestors (directory pruning) AND (b) a ≤``max_ranges``-term
+    disjunction of ``cell BETWEEN lo AND hi`` over the merged fine cell
+    ranges — the layout sorts by ``cell`` inside each file, so parquet
+    row-group min/max stats prune INSIDE buckets too (round-2 verdict
+    item 2: the ranges were computed but never applied).  ``res`` must
+    match the resolution the layout was written at.
 
     With ``time_range`` (and a layout written with ``time_col``), the
     ``time_bin`` partition dimension is pruned too — the Z3 primary-key
     behaviour: only bucket dirs inside [bin(start), bin(end)] are listed.
 
     The caller refines (or uses :func:`query`, which does).  Plan check:
-    ``.explain(True)`` must show the bucket list under PartitionFilters.
+    ``.explain(True)`` must show the bucket list under PartitionFilters
+    and the cell ranges under PushedFilters.
     """
     g = wkt.parse_wkt(geom_wkt)
     parts = wkt.antimeridian_split(g) if g is not None and g.kind == wkt.WKB_POLYGON else [g]
-    bucket_cover = []
     fine_ranges: list[tuple[int, int]] = []
+    bucket_cover = []
     for p in parts:
+        # cover at the FINE res (budget may force a coarser r — ranges
+        # widen by shifting, staying complete)
         if p.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
-            c, r = cells.cover_polygon(p.rings(), bucket_res, max_cells)
+            c, r = cells.cover_polygon(p.rings(), res, max_cells)
         else:
             lon0, lat0, lon1, lat1 = extract_bounds(wkt.to_wkt(p))
-            c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, bucket_res, max_cells)
-        c = np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c
-        bucket_cover.append(c)
-        # fine ranges: each bucket cell spans a contiguous fine-cell range
-        span = 2 * (res - bucket_res)
-        for b in c:
-            fine_ranges.append((int(b) << span, ((int(b) + 1) << span) - 1))
+            c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, res, max_cells)
+        span = 2 * (res - r)
+        for cc in c:
+            fine_ranges.append((int(cc) << span, ((int(cc) + 1) << span) - 1))
+        if r >= bucket_res:
+            br = cells.parent(c, r - bucket_res)
+        else:  # budget forced coarser than the bucket layer: enumerate children
+            span_b = 2 * (bucket_res - r)
+            br = (
+                np.asarray(c, dtype=np.int64)[:, None] << span_b
+            ) + np.arange(1 << span_b, dtype=np.int64)[None, :]
+            br = br.reshape(-1)
+        bucket_cover.append(np.unique(br))
     buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
+    ranges = _merge_fine_ranges(fine_ranges, max_ranges)
     df = spark.read.parquet(path).filter(F.col("cell_bucket").isin(buckets))
+    cond = F.col("cell").between(*ranges[0])
+    for lo, hi in ranges[1:]:
+        cond = cond | F.col("cell").between(lo, hi)
+    df = df.filter(cond)
     if time_range is not None and "time_bin" in df.columns:
         width = 86400 * time_bin_days
         b0 = int(pd.Timestamp(time_range[0]).timestamp()) // width

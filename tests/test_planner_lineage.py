@@ -33,6 +33,40 @@ def test_partitioned_layout_prunes(spark, layout):
     assert n_buckets_scan < n_buckets_all
 
 
+def test_fine_cell_ranges_pushed_down(spark, layout):
+    """Round-2 verdict item 2: the fine cell ranges were computed but never
+    applied.  The scan filter must now reach parquet PushedFilters (the
+    layout sorts by cell inside files, so min/max stats prune row groups)
+    and must actually narrow the candidate set inside surviving buckets."""
+    poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
+    cand = planner.scan_partitioned(spark, layout, poly, res=10)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the Or-chain of BETWEEN terms must reach the parquet scan; Spark
+    # truncates long filter lists in toString(), so match the prefix
+    assert (
+        "PushedFilters: [Or(" in plan
+        or "PushedFilters: [And(GreaterThanOrEqual(cell," in plan
+    )
+    # fine ranges prune rows that bucket-level pruning alone keeps
+    buckets = [r["cell_bucket"] for r in cand.select("cell_bucket").distinct().collect()]
+    bucket_only = spark.read.parquet(layout).filter(F.col("cell_bucket").isin(buckets))
+    assert cand.count() < bucket_only.count()
+
+
+def test_merge_fine_ranges_budget_and_coverage():
+    rng = np.random.default_rng(5)
+    ranges = [(int(a), int(a + rng.integers(0, 50))) for a in rng.integers(0, 10_000, 200)]
+    merged = planner._merge_fine_ranges(ranges, max_ranges=16)
+    assert 1 <= len(merged) <= 16
+    # sorted, disjoint, and a superset of the input coverage
+    for (a0, a1), (b0, b1) in zip(merged, merged[1:]):
+        assert a1 < b0
+    def covered(v, rs):
+        return any(lo <= v <= hi for lo, hi in rs)
+    for lo, hi in ranges:
+        assert covered(lo, merged) and covered(hi, merged)
+
+
 def test_query_matches_bruteforce(spark, layout):
     poly = "POLYGON((10 10, 20 10, 20 20, 10 20, 10 10))"
     got = {r["doc_id"] for r in planner.query(spark, layout, poly, "intersects").collect()}
