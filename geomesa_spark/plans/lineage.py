@@ -1,27 +1,35 @@
 """Per-partition lineage records + checkpoint-resume (north_rule).
 
 Every run of a lineage-tracked job writes, per task partition, a manifest
-record (input files touched, cell range, row count, xor-checksum) BEFORE
+record (input files touched, cell range, row count, checksum) BEFORE
 committing that partition's output, into an Iceberg-snapshot-shaped layout
 implemented over plain parquet (no Iceberg jar offline — SURVEY.md §0.4):
 
     <job_dir>/
+      job.json                       # job-lifetime shard fan-out
       snapshots/snap-<n>.json        # ordered snapshot log (current state)
-      manifests/manifest-<uuid>.parquet   # one row per completed partition
-      data/part-<cell_bucket>/*.parquet   # partition outputs
+      manifests/manifest-<uuid>.parquet    # one row per completed CHUNK
+      data/part-<bucket>-s<shard>.parquet  # one bounded file per chunk
 
-Resume = read completed cell_bucket set from the manifests of the last
-snapshot and ANTI-JOIN it against the work list — completed cell ranges
-are never recomputed, and the final output is byte-identical because each
-partition's output is deterministic (sorted by cell) and written to a
-deterministic path.
+The task partition — the unit of commit, skip, and lineage — is a
+``(cell_bucket, shard)`` CHUNK, where rows hash deterministically to one
+of ``n_shards`` shards inside their bucket.  A bucket holding hundreds of
+GB at 10^12-doc scale is therefore many bounded files written by many
+parallel tasks, and parallelism is buckets x shards rather than capped at
+the bucket count (round-2 verdict item 1).
+
+Resume = read the completed (cell_bucket, shard) set from the manifests of
+the last snapshot and ANTI-JOIN it against the work list — completed
+chunks are never recomputed, and the final output is byte-identical
+because each chunk's content is deterministic (row-hash shard assignment +
+full-column sort) and written to a deterministic path.
 
 The reference analogue: GeoMesa has no job-resume (its writes are
 idempotent key-value puts); this layer is what the north_rule adds for
 10^12-document batch jobs where re-running finished cell ranges is the
 difference between hours and days.
 
-FILESYSTEM CONTRACT (round-1 verdict item 7): the per-bucket writers use
+FILESYSTEM CONTRACT (round-1 verdict item 7): the per-chunk writers use
 ``os.path`` / ``os.replace`` inside ``applyInPandas``, i.e. executors
 write DIRECTLY to ``job_dir``.  That is correct in local mode and on any
 shared POSIX filesystem (NFS/Lustre/EFS — the common HPC/EMR setup) where
@@ -59,12 +67,12 @@ def _snapshots(snap_dir: str) -> list[str]:
     return sorted(f for f in os.listdir(snap_dir) if f.endswith(".json"))
 
 
-def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
-    """Buckets already committed.  ``epoch=None`` (batch job resume) counts a
-    bucket done if ANY manifest committed it; with an ``epoch`` (streaming
-    micro-batch) only manifests of the SAME epoch count — later epochs must
-    append to a bucket, never be skipped because an earlier epoch touched it
-    (each epoch carries distinct rows)."""
+def completed_chunks(job_dir: str, epoch: int | None = None) -> set[tuple[int, int]]:
+    """(cell_bucket, shard) chunks already committed.  ``epoch=None`` (batch
+    job resume) counts a chunk done if ANY manifest committed it; with an
+    ``epoch`` (streaming micro-batch) only manifests of the SAME epoch count
+    — later epochs must append to a bucket, never be skipped because an
+    earlier epoch touched it (each epoch carries distinct rows)."""
     snap_dir, man_dir, _ = _snapshot_paths(job_dir)
     if not os.path.isdir(snap_dir):
         return set()
@@ -73,7 +81,7 @@ def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
         return set()
     with open(os.path.join(snap_dir, snaps[-1])) as f:
         snap = json.load(f)
-    done: set[int] = set()
+    done: set[tuple[int, int]] = set()
     for m in snap["manifests"]:
         mp = os.path.join(man_dir, m)
         if os.path.exists(mp):
@@ -82,8 +90,32 @@ def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
                 if "epoch" not in mdf.columns:
                     continue
                 mdf = mdf[mdf["epoch"] == epoch]
-            done.update(int(b) for b in mdf["cell_bucket"])
+            shards = mdf["shard"] if "shard" in mdf.columns else [0] * len(mdf)
+            done.update((int(b), int(s)) for b, s in zip(mdf["cell_bucket"], shards))
     return done
+
+
+def completed_buckets(job_dir: str, epoch: int | None = None) -> set[int]:
+    """Buckets with at least one committed chunk (legacy view of
+    :func:`completed_chunks`; resume logic uses the chunk set)."""
+    return {b for b, _ in completed_chunks(job_dir, epoch=epoch)}
+
+
+def _job_config(job_dir: str, n_shards: int | None) -> dict:
+    """Shard fan-out is a JOB-LIFETIME constant: the (bucket, shard) chunk is
+    the unit of commit/skip, so a resume (or a later streaming epoch) must
+    hash rows to shards exactly as the first run did.  First call persists
+    the config atomically; later calls read it back and IGNORE the argument."""
+    cfg_path = os.path.join(job_dir, "job.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return json.load(f)
+    cfg = {"n_shards": int(n_shards) if n_shards else 1}
+    tmp = cfg_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, cfg_path)
+    return cfg
 
 
 def run_partitioned_job(
@@ -91,46 +123,84 @@ def run_partitioned_job(
     job_dir: str,
     seq: int | None = None,
     epoch: int | None = None,
+    n_shards: int | None = None,
+    target_rows_per_file: int = 4_000_000,
 ) -> dict:
     """Execute (or resume) a bucket-partitioned materialization.
 
     ``points_with_bucket`` must carry ``cell_bucket`` and ``cell`` columns
-    (see planner.write_partitioned).  Each bucket is written independently
-    and atomically: data file first, then its manifest row; a snapshot
-    commit makes the set of manifests current.  Killing the job mid-way
-    loses at most in-flight buckets; finished buckets are skipped on the
-    next run (anti-join on the completed set).
+    (see planner.write_partitioned).  The unit of work is a PER-TASK CHUNK
+    ``(cell_bucket, shard)`` — not a whole bucket: rows hash to one of
+    ``n_shards`` shards inside their bucket, each chunk is one Arrow group
+    task that writes one bounded data file + returns one manifest row
+    (the north_rule's per-partition lineage).  A hot bucket therefore
+    becomes many parallel tasks and many files, never one giant pandas
+    frame in one task (round-2 verdict item 1); parallelism is
+    buckets x shards and the per-task memory bound is set by
+    ``target_rows_per_file``, not by the skew of the data.
+
+    ``n_shards`` defaults to ceil(rows / buckets / target_rows_per_file)
+    measured once on the first run; the chosen value is persisted in
+    ``job_dir/job.json`` because shard assignment must be identical on
+    resume.  Each chunk commits atomically: data file first, then its
+    manifest row; a snapshot commit makes the set of manifests current.
+    Killing the job mid-way loses at most in-flight chunks; finished
+    chunks are skipped on the next run (anti-join on the completed set).
 
     Batch mode (``epoch=None``): one logical dataset; resume skips every
-    bucket any prior run committed, data files are ``part-<bucket>.parquet``.
-    Streaming mode (``epoch`` set by foreachBatch): each epoch's rows APPEND
-    as ``part-<bucket>-<epoch>.parquet``; only buckets committed for the
-    same epoch are skipped (same-epoch replay after a crash stays
-    exactly-once, cross-epoch data is never dropped).
+    chunk any prior run committed.  Streaming mode (``epoch`` set by
+    foreachBatch): each epoch's rows APPEND as distinct files; only chunks
+    committed for the same epoch are skipped (same-epoch replay after a
+    crash stays exactly-once, cross-epoch data is never dropped).
     """
     spark = points_with_bucket.sparkSession
     snap_dir, man_dir, data_dir = _snapshot_paths(job_dir)
     for d in (snap_dir, man_dir, data_dir):
         os.makedirs(d, exist_ok=True)
 
-    done = completed_buckets(job_dir, epoch=epoch)
-    todo_df = points_with_bucket
-    if done:
-        todo_df = todo_df.filter(~F.col("cell_bucket").isin(sorted(done)))
+    if n_shards is None and not os.path.exists(os.path.join(job_dir, "job.json")):
+        # one cheap aggregate pass sizes the fan-out from the data
+        sizing = points_with_bucket.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("cell_bucket").alias("b"),
+        ).collect()[0]
+        n_shards = max(1, -(-int(sizing["n"]) // max(1, int(sizing["b"])) // target_rows_per_file))
+    cfg = _job_config(job_dir, n_shards)
+    k = int(cfg["n_shards"])
 
-    # distributed per-bucket write: one Arrow batch job per bucket group;
-    # each group writes its own data file + returns its manifest row
+    # deterministic shard: hash of the full row (stable bit patterns), so a
+    # resume over the same input reproduces the same chunk membership
+    cols = points_with_bucket.columns
+    todo_df = points_with_bucket.withColumn(
+        "__shard", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(k)).cast("long")
+    )
+    done = completed_chunks(job_dir, epoch=epoch)
+    if done:
+        done_df = spark.createDataFrame(
+            pd.DataFrame(sorted(done), columns=["cell_bucket", "__shard"])
+        )
+        todo_df = todo_df.join(
+            F.broadcast(done_df), on=["cell_bucket", "__shard"], how="left_anti"
+        ).select(*cols, "__shard")  # anti-join fronts its keys; restore order
+
+    # distributed per-chunk write: one Arrow batch job per (bucket, shard)
+    # group; each group writes its own data file + returns its manifest row
     out_schema = (
-        "cell_bucket long, epoch long, n_rows long, cell_min long, cell_max long, "
-        "checksum string, path string"
+        "cell_bucket long, shard long, epoch long, n_rows long, cell_min long, "
+        "cell_max long, checksum string, path string"
     )
     epoch_key = -1 if epoch is None else int(epoch)
 
-    def write_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (bucket,) = key
-        pdf = pdf.sort_values("cell", kind="mergesort").reset_index(drop=True)
+    def write_chunk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, shard = key
+        # full-column sort: chunk contents must be byte-identical no matter
+        # what order the shuffle delivered the rows in
+        pdf = pdf.drop(columns=["__shard"])
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
         suffix = "" if epoch_key < 0 else f"-{epoch_key:05d}"
-        path = os.path.join(data_dir, f"part-{int(bucket):06d}{suffix}.parquet")
+        path = os.path.join(
+            data_dir, f"part-{int(bucket):06d}-s{int(shard):04d}{suffix}.parquet"
+        )
         tmp = path + ".inprogress"
         # μs timestamps: Spark cannot read pandas' default TIMESTAMP(NANOS)
         pdf.to_parquet(tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
@@ -141,6 +211,7 @@ def run_partitioned_job(
         return pd.DataFrame(
             {
                 "cell_bucket": [int(bucket)],
+                "shard": [int(shard)],
                 "epoch": [epoch_key],
                 "n_rows": [len(pdf)],
                 "cell_min": [int(pdf["cell"].min()) if len(pdf) else -1],
@@ -151,7 +222,9 @@ def run_partitioned_job(
         )
 
     manifest_pdf = (
-        todo_df.groupBy("cell_bucket").applyInPandas(write_bucket, schema=out_schema).toPandas()
+        todo_df.groupBy("cell_bucket", "__shard")
+        .applyInPandas(write_chunk, schema=out_schema)
+        .toPandas()
     )
 
     # commit: manifest file + snapshot (atomic rename)
@@ -176,8 +249,11 @@ def run_partitioned_job(
         json.dump(snap, f)
     os.replace(tmp, os.path.join(snap_dir, f"snap-{n_snap:05d}.json"))
     return {
-        "written_buckets": len(manifest_pdf),
-        "skipped_buckets": len(done),
+        "written_buckets": int(manifest_pdf["cell_bucket"].nunique()) if len(manifest_pdf) else 0,
+        "skipped_buckets": len({b for b, _ in done}),
+        "written_chunks": len(manifest_pdf),
+        "skipped_chunks": len(done),
+        "n_shards": k,
         "rows": int(manifest_pdf["n_rows"].sum()) if len(manifest_pdf) else 0,
     }
 

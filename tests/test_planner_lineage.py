@@ -205,3 +205,63 @@ class TestLineageResume:
             a = open(os.path.join(clean_job, "data", f), "rb").read()
             b = open(os.path.join(crashed_job, "data", f), "rb").read()
             assert a == b, f
+
+    def test_sharded_chunks_bound_task_size(self, spark, sf_dir, tmp_path):
+        """Round-2 verdict item 1: a bucket must never be one giant pandas
+        frame in one task.  With n_shards=4 every bucket splits into up to 4
+        bounded chunk files, each with its own manifest row, the manifest's
+        per-chunk counts reconcile with the data, and resume over the
+        sharded layout is still a no-op."""
+        job = str(tmp_path / "sharded")
+        d = self._points(spark, sf_dir)
+        r1 = lineage.run_partitioned_job(d, job, n_shards=4)
+        assert r1["n_shards"] == 4
+        assert r1["written_chunks"] > r1["written_buckets"]  # >1 file/bucket
+        files = os.listdir(os.path.join(job, "data"))
+        import collections, re
+        per_bucket = collections.Counter(
+            re.match(r"part-(\d+)-s\d+\.parquet", f).group(1) for f in files
+        )
+        assert max(per_bucket.values()) > 1 and max(per_bucket.values()) <= 4
+        m = lineage.job_metrics(job)
+        assert len(m) == r1["written_chunks"] and m["n_rows"].sum() == d.count()
+        # chunked output == input
+        out = lineage.read_job_output(spark, job)
+        assert out.count() == d.count()
+        # resume skips every chunk
+        r2 = lineage.run_partitioned_job(d, job)
+        assert r2["written_chunks"] == 0 and r2["skipped_chunks"] == r1["written_chunks"]
+        # n_shards persisted in job.json wins over the sizing heuristic
+        assert r2["n_shards"] == 4
+
+    def test_sharded_partial_resume_exact(self, spark, sf_dir, tmp_path):
+        """Crash mid-run with some CHUNKS of a bucket committed and others
+        not: resume must complete exactly the missing chunks (no dupes, no
+        loss) and match a clean sharded run byte-for-byte."""
+        d = self._points(spark, sf_dir)
+        clean_job = str(tmp_path / "clean4")
+        lineage.run_partitioned_job(d, clean_job, n_shards=4)
+        clean = lineage.read_job_output(spark, clean_job).orderBy("cell", "doc_id").toPandas()
+
+        crashed_job = str(tmp_path / "crashed4")
+        lineage.run_partitioned_job(d, crashed_job, n_shards=4)
+        # simulate a crash that lost an arbitrary committed chunk: delete one
+        # data file AND its manifest row via a rewritten snapshot
+        man_dir = os.path.join(crashed_job, "manifests")
+        m = lineage.job_metrics(crashed_job)
+        victim = m.iloc[len(m) // 2]
+        os.remove(victim["path"])
+        import pandas as pd
+        for mf in os.listdir(man_dir):
+            mdf = pd.read_parquet(os.path.join(man_dir, mf))
+            keep = ~((mdf["cell_bucket"] == victim["cell_bucket"]) & (mdf["shard"] == victim["shard"]))
+            if not keep.all():
+                mdf[keep].to_parquet(os.path.join(man_dir, mf), index=False)
+        r = lineage.run_partitioned_job(d, crashed_job)
+        assert r["written_chunks"] == 1
+        resumed = lineage.read_job_output(spark, crashed_job).orderBy("cell", "doc_id").toPandas()
+        assert clean.equals(resumed)
+        for f in sorted(os.listdir(os.path.join(clean_job, "data"))):
+            a = open(os.path.join(clean_job, "data", f), "rb").read()
+            b = open(os.path.join(crashed_job, "data", f), "rb").read()
+            assert a == b, f
