@@ -275,7 +275,9 @@ def q_flagship_spans_join(spark, sf_dir):
     from .sources import corpus
 
     docs = corpus.load_documents_spans(spark, sf_dir)
-    out = sj.spatial_join_documents(docs, corpus.fixture_polygons(), predicate="intersects")
+    out = sj.spatial_join_documents(
+        docs, corpus.fixture_polygons(), predicate="intersects", res="auto"
+    )
     return out.select("doc_id", "polygon_id", F.size("spans").alias("n_spans"))
 
 
@@ -289,7 +291,7 @@ def q_flagship_rect_join(spark, sf_dir):
     from .sources import corpus
 
     docs = corpus.load_documents_spans(spark, sf_dir)
-    out = sj.spatial_join_documents(docs, _rect_rows(), predicate="intersects")
+    out = sj.spatial_join_documents(docs, _rect_rows(), predicate="intersects", res="auto")
     return out.select("doc_id", "polygon_id")
 
 

@@ -286,3 +286,20 @@ def test_auto_salt_and_auto_res(spark, docs_df, sf_dir):
     fa = {(r["doc_id"], r["polygon_id"]) for r in fixed.select("doc_id", "polygon_id").collect()}
     fb = {(r["doc_id"], r["polygon_id"]) for r in auto_res.select("doc_id", "polygon_id").collect()}
     assert fa == fb
+
+
+def test_flagship_plan_jit_guard(spark, docs_df):
+    """Regression guard for the round-2 JIT discovery: the Morton cell
+    encode must stay a chain of small projections.  If Catalyst's
+    CollapseProject ever inlines the whole encode into one mega-expression
+    again, the codegen'd method blows the JVM's 8 kB JIT bytecode limit and
+    the hot path silently runs interpreted at ~1/3 throughput.  A healthy
+    flagship plan has exactly 2 FLOOR leaves (one per axis normalization)
+    and ZERO shuffle Exchanges."""
+    df = sj.spatial_join_documents(
+        docs_df, corpus.fixture_polygons(), "intersects"
+    ).select("doc_id", "polygon_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FLOOR") <= 2, "Morton encode collapsed: JIT-hostile plan"
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
