@@ -230,6 +230,139 @@ def line_poly_matrix(coords_line: np.ndarray, rings: list[np.ndarray]) -> str:
     return ii + ib + ie + bi + bb + be + "2" + eb + "2"
 
 
+def _ring_segs(rings: list[np.ndarray]):
+    return [
+        s
+        for r in rings
+        for s in _segments(kernels.close_ring(np.asarray(r, dtype=np.float64)))
+    ]
+
+
+def _interior_probe(rings: list[np.ndarray]):
+    """A point strictly interior to the polygon (outer ring + holes), found
+    by horizontal scanlines between distinct vertex latitudes.  Returns
+    (x, y) or None for degenerate (zero-area) input."""
+    segs = _ring_segs(rings)
+    ys = np.unique(np.concatenate([np.asarray(r, dtype=np.float64)[:, 1] for r in rings]))
+    for y0, y1 in zip(ys, ys[1:]):
+        y = (y0 + y1) / 2.0
+        xs = []
+        for (px, py), (qx, qy) in segs:
+            if (py - y) * (qy - y) < 0:  # strict crossing of the scanline
+                xs.append(px + (y - py) / (qy - py) * (qx - px))
+        xs.sort()
+        for x0, x1 in zip(xs, xs[1:]):
+            if x1 - x0 <= _EPS:
+                continue
+            mx = (x0 + x1) / 2.0
+            if kernels.point_in_polygon(
+                np.asarray([mx]), np.asarray([y]), rings
+            )[0] == kernels.PIP_IN:
+                return (mx, y)
+    return None
+
+
+def _split_points(segs_self, segs_other):
+    """Midpoints of each self-segment after splitting at every intersection
+    (point or collinear-overlap endpoint) with the other segment set.  Each
+    midpoint lies strictly inside one region class of the other polygon."""
+    mids = []
+    for p, q in segs_self:
+        cuts = {0.0, 1.0}
+        for a, b in segs_other:
+            ov = _collinear_overlap(p, q, a, b)
+            if ov:
+                cuts.update(ov)
+            for pt in _seg_intersection_points(p, q, a, b):
+                t = _seg_param(p, q, pt)
+                if t is not None:
+                    cuts.add(min(max(t, 0.0), 1.0))
+        ts = sorted(cuts)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 > _EPS:
+                tm = (t0 + t1) / 2.0
+                mids.append((p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1])))
+    return mids
+
+
+def _classify(points, rings) -> set[int]:
+    if not points:
+        return set()
+    xs = np.asarray([p[0] for p in points])
+    ys = np.asarray([p[1] for p in points])
+    return set(kernels.point_in_polygon(xs, ys, rings).tolist())
+
+
+def poly_poly_matrix(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> str:
+    """COMPUTED DE-9IM for Polygon × Polygon (outer ring + holes each).
+
+    Dimension facts that make this exact with only point probes: interiors
+    are open 2-D sets, so II/IE/EI are each F or 2; a boundary point of one
+    polygon lying in the other's OPEN interior/exterior implies a
+    positive-length boundary run there, so IB/BI/BE/EB are each F or 1 and
+    are witnessed by midpoints of boundary sub-segments split at every
+    boundary×boundary intersection.  The only witnesses sub-segments can
+    miss are regions bounded entirely by the OTHER polygon's boundary —
+    exactly (i) equal-interior overlap, caught by an interior probe point,
+    and (ii) a hole of one polygon swallowed by the other's interior,
+    caught by a probe inside each hole.  BB is 1 on any collinear overlap,
+    else 0 on any touch point, else F.
+    """
+    sa, sb = _ring_segs(rings_a), _ring_segs(rings_b)
+    mids_a = _split_points(sa, sb)  # boundary-of-A sample points
+    mids_b = _split_points(sb, sa)
+    cls_a_in_b = _classify(mids_a, rings_b)
+    cls_b_in_a = _classify(mids_b, rings_a)
+
+    probe_a, probe_b = _interior_probe(rings_a), _interior_probe(rings_b)
+    pa_in_b = (
+        kernels.point_in_polygon(
+            np.asarray([probe_a[0]]), np.asarray([probe_a[1]]), rings_b
+        )[0]
+        if probe_a
+        else None
+    )
+    pb_in_a = (
+        kernels.point_in_polygon(
+            np.asarray([probe_b[0]]), np.asarray([probe_b[1]]), rings_a
+        )[0]
+        if probe_b
+        else None
+    )
+    # hole probes: a hole's interior is the polygon's EXTERIOR
+    hole_probes_a = [p for h in rings_a[1:] if (p := _interior_probe([h]))]
+    hole_probes_b = [p for h in rings_b[1:] if (p := _interior_probe([h]))]
+    holes_b_in_a = _classify(hole_probes_b, rings_a)  # ext_B regions vs A
+    holes_a_in_b = _classify(hole_probes_a, rings_b)
+
+    IN, OUT = kernels.PIP_IN, kernels.PIP_OUT
+
+    ii = "2" if (
+        IN in cls_a_in_b or IN in cls_b_in_a
+        or pa_in_b == IN or pb_in_a == IN
+    ) else "F"
+    ie = "2" if (
+        OUT in cls_a_in_b or pa_in_b == OUT or IN in holes_b_in_a
+    ) else "F"
+    ei = "2" if (
+        OUT in cls_b_in_a or pb_in_a == OUT or IN in holes_a_in_b
+    ) else "F"
+    ib = "1" if IN in cls_b_in_a else "F"
+    bi = "1" if IN in cls_a_in_b else "F"
+    be = "1" if OUT in cls_a_in_b else "F"
+    eb = "1" if OUT in cls_b_in_a else "F"
+
+    bb = "F"
+    if any(_collinear_overlap(p, q, a, b) for p, q in sa for a, b in sb):
+        bb = "1"
+    elif any(_seg_intersection_points(p, q, a, b) for p, q in sa for a, b in sb) or any(
+        _on_polyline(pt, sb) for r in rings_a for pt in map(tuple, np.asarray(r, dtype=np.float64))
+    ):
+        bb = "0"
+
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
 def transpose(m: str | None) -> str | None:
     if m is None:
         return None

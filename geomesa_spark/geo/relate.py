@@ -84,15 +84,18 @@ def _poly_poly_intersects(pa: list[np.ndarray], pb: list[np.ndarray]) -> bool:
 
 
 def _poly_contains_poly(pa: list[np.ndarray], pb: list[np.ndarray]) -> bool:
+    # cheap exact rejection: any outer-ring vertex of B strictly outside A
     ob = kernels.close_ring(pb[0])
     cls = kernels.point_in_polygon(ob[:-1, 0], ob[:-1, 1], pa)
-    if (cls == PIP_OUT).any() or not (cls == PIP_IN).any():
+    if (cls == PIP_OUT).any():
         return False
-    for ra in pa:
-        for rb in pb:
-            if _any_edge_cross(kernels.close_ring(ra), kernels.close_ring(rb)):
-                return False
-    return True
+    # exact decision via the computed DE-9IM (round-2's vertex+edge-touch
+    # heuristic wrongly rejected B touching A's boundary from inside):
+    # contains ⟺ II≠F ∧ EI=F ∧ EB=F
+    from . import de9im
+
+    m = de9im.poly_poly_matrix(pa, pb)
+    return m[0] != "F" and m[6] == "F" and m[7] == "F"
 
 
 def _line_poly_intersects(line: np.ndarray, rings: list[np.ndarray]) -> bool:
@@ -168,7 +171,15 @@ def covers(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
     if ga.kind == wkt.WKB_POLYGON and gb.kind == wkt.WKB_POLYGON:
         ob = kernels.close_ring(gb.coords[0])
         cls = kernels.point_in_polygon(ob[:-1, 0], ob[:-1, 1], ga.coords)
-        return not (cls == PIP_OUT).any()
+        if (cls == PIP_OUT).any():
+            return False
+        # vertices inside is necessary, not sufficient (an edge can bulge
+        # into A's exterior, or B can cover one of A's holes): exact via
+        # the computed DE-9IM — covers ⟺ EI=F ∧ EB=F
+        from . import de9im
+
+        m = de9im.poly_poly_matrix(ga.coords, gb.coords)
+        return m[6] == "F" and m[7] == "F"
     return contains(ga, gb)
 
 

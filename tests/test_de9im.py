@@ -151,3 +151,88 @@ class TestConsistencyWithPredicates:
             assert self._mat_intersects(m) == relate.intersects(ga, gp), (
                 a.tolist(), m
             )
+
+
+class TestPolyPoly:
+    """Hand-derived JTS RelateOp matrices for polygon × polygon."""
+
+    def test_equal(self):
+        a = P(SQUARE)
+        assert de9im.poly_poly_matrix(a, a) == "2FFF1FFF2"
+
+    def test_contains_disjoint_boundaries(self):
+        a = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        b = P("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        assert de9im.poly_poly_matrix(a, b) == "212FF1FF2"
+        assert de9im.poly_poly_matrix(b, a) == "2FF1FF212"
+
+    def test_within_touching_boundary(self):
+        # inner shares the x=0 and y=0 edges with outer
+        a = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        assert de9im.poly_poly_matrix(a, b) == "2FF11F212"
+        assert de9im.poly_poly_matrix(b, a) == "212F11FF2"
+
+    def test_overlap(self):
+        a = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+        b = P("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        assert de9im.poly_poly_matrix(a, b) == "212101212"
+
+    def test_touch_edge(self):
+        a = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = P("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))")
+        assert de9im.poly_poly_matrix(a, b) == "FF2F11212"
+
+    def test_touch_corner_point(self):
+        a = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = P("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert de9im.poly_poly_matrix(a, b) == "FF2F01212"
+
+    def test_disjoint(self):
+        a = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        b = P("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+        assert de9im.poly_poly_matrix(a, b) == "FF2FF1212"
+
+    HOLED = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+
+    def test_hole_filler(self):
+        # b exactly fills a's hole: b's interior is a's EXTERIOR, shared ring
+        a = P(self.HOLED)
+        b = P("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert de9im.poly_poly_matrix(a, b) == "FF2F112F2"
+
+    def test_inside_hole_disjoint(self):
+        a = P(self.HOLED)
+        b = P("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+        assert de9im.poly_poly_matrix(a, b) == "FF2FF1212"
+
+    def test_holed_within_full_square(self):
+        # holed square inside the full square with identical outer ring:
+        # the hole is ext(a) ∩ int(b) — only a hole-probe can witness EI
+        a = P(self.HOLED)
+        b = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        assert de9im.poly_poly_matrix(a, b) == "2FF11F2F2"
+        assert de9im.poly_poly_matrix(b, a) == de9im.transpose("2FF11F2F2")
+
+    def test_equal_holed(self):
+        a = P(self.HOLED)
+        assert de9im.poly_poly_matrix(a, a) == "2FFF1FFF2"
+
+    def test_matches_boolean_predicates_random(self):
+        from geomesa_spark.geo import relate
+
+        rng = np.random.default_rng(13)
+        for _ in range(200):
+            x0, y0 = rng.integers(0, 4, size=2).astype(float)
+            w0, h0 = rng.integers(1, 4, size=2).astype(float)
+            x1, y1 = rng.integers(0, 4, size=2).astype(float)
+            w1, h1 = rng.integers(1, 4, size=2).astype(float)
+            ra = [np.asarray([[x0, y0], [x0 + w0, y0], [x0 + w0, y0 + h0], [x0, y0 + h0]])]
+            rb = [np.asarray([[x1, y1], [x1 + w1, y1], [x1 + w1, y1 + h1], [x1, y1 + h1]])]
+            ga = wkt.Geometry(wkt.WKB_POLYGON, ra)
+            gb = wkt.Geometry(wkt.WKB_POLYGON, rb)
+            m = de9im.poly_poly_matrix(ra, rb)
+            inter = any(c != "F" for c in (m[0], m[1], m[3], m[4]))
+            assert inter == relate.intersects(ga, gb), (ra, rb, m)
+            contains = m[0] != "F" and m[6] == "F" and m[7] == "F"
+            assert contains == relate.contains(ga, gb), (ra, rb, m)
