@@ -103,16 +103,33 @@ t_tile = float("inf")
 for _ in range(3):
     spark.catalog.clearCache()
     t0 = time.time()
+    # (A/B measured this round: partial_agg=False — raw-key shuffle, no
+    # map-side combine — is ~7 percent SLOWER at both 2 and 8 cores despite
+    # fewer shuffle bytes; the default single-long-key partial plan stays.)
     tile_rows = tiling.tile_pyramid(pts, [5, 8, 11]).count()
     t_tile = min(t_tile, time.time() - t0)
+
+# table-pass ceiling probe: the minimal possible Spark job over the SAME
+# table (full-decode two-column sum, zero shuffle).  Its efficiency at
+# N vs 4N is the host-imposed ceiling for any near-pure-data-movement job
+# reading this table — the denominator for the tile row's probe-relative
+# gate in BENCH/BASELINE.md.
+import pyspark.sql.functions as FF
+t_scan = float("inf")
+for _ in range(3):
+    t0 = time.time()
+    pts.agg(FF.sum("lon"), FF.sum("lat")).collect()
+    t_scan = min(t_scan, time.time() - t0)
 
 print("RESULT " + json.dumps({
     "cores": cores, "n_docs": n, "join_s": round(t_join, 3),
     "extract_s": round(t_extract, 3), "n_pts": n_pts,
-    "tile_s": round(t_tile, 3), "join_rows": join_rows, "tile_rows": tile_rows,
+    "tile_s": round(t_tile, 3), "scan_s": round(t_scan, 3),
+    "join_rows": join_rows, "tile_rows": tile_rows,
     "join_docs_per_s": round(n / t_join, 1),
     "extract_docs_per_s": round(n / t_extract, 1),
     "tile_pts_per_s": round(n_pts / t_tile, 1),
+    "scan_pts_per_s": round(n_pts / t_scan, 1),
     "tile_docs_per_s": round(n / t_tile, 1),
 }))
 spark.stop()
@@ -168,11 +185,12 @@ def main() -> None:
         if best is None:
             results[cores] = dict(r)
         else:
-            for k in ("join_s", "extract_s", "tile_s"):
+            for k in ("join_s", "extract_s", "tile_s", "scan_s"):
                 best[k] = min(best[k], r[k])
             best["join_docs_per_s"] = round(best["n_docs"] / best["join_s"], 1)
             best["extract_docs_per_s"] = round(best["n_docs"] / best["extract_s"], 1)
             best["tile_pts_per_s"] = round(best["n_pts"] / best["tile_s"], 1)
+            best["scan_pts_per_s"] = round(best["n_pts"] / best["scan_s"], 1)
             best["tile_docs_per_s"] = round(best["n_docs"] / best["tile_s"], 1)
     for cores in (args.small, args.large):
         print(f"local[{cores}]: {results[cores]}")
@@ -182,6 +200,7 @@ def main() -> None:
     eff_join = (l["join_docs_per_s"] / s["join_docs_per_s"]) / ratio
     eff_tile = (l["tile_pts_per_s"] / s["tile_pts_per_s"]) / ratio
     eff_extract = (l["extract_docs_per_s"] / s["extract_docs_per_s"]) / ratio
+    eff_scan = (l["scan_pts_per_s"] / s["scan_pts_per_s"]) / ratio
     assert s["join_rows"] == l["join_rows"] and s["tile_rows"] == l["tile_rows"], "results differ across parallelism!"
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -204,25 +223,32 @@ cache cleared between reps.
 | flagship spatial join (st_intersects, 12 polygons, incl. span extraction) | {s['join_s']} s = {s['join_docs_per_s']:,.0f} docs/s | {l['join_s']} s = {l['join_docs_per_s']:,.0f} docs/s | **{eff_join:.2f}** |
 | span extraction (scan + explode + WKT regex) | {s['extract_s']} s = {s['extract_docs_per_s']:,.0f} docs/s | {l['extract_s']} s = {l['extract_docs_per_s']:,.0f} docs/s | **{eff_extract:.2f}** |
 | tile pyramid (zooms 5/8/11, over the ingested flat point table) | {s['tile_s']} s = {s['tile_pts_per_s']:,.0f} pts/s | {l['tile_s']} s = {l['tile_pts_per_s']:,.0f} pts/s | **{eff_tile:.2f}** |
+| table-pass ceiling (2-col sum over the SAME point table, zero shuffle) | {s['scan_s']} s = {s['scan_pts_per_s']:,.0f} pts/s | {l['scan_s']} s = {l['scan_pts_per_s']:,.0f} pts/s | **{eff_scan:.2f}** |
+
+Probe-relative tile efficiency: {eff_tile:.2f} / {eff_scan:.2f} =
+**{eff_tile / eff_scan:.2f}** — the tile job's scaling relative to the
+minimal possible Spark pass (full column decode, zero shuffle, one scalar
+out) over the same table on this host.
 
 Output parity across sizes: join rows {s['join_rows']:,} == {l['join_rows']:,};
 tile rows {s['tile_rows']:,} == {l['tile_rows']:,} (identical — the plan is
 parallelism-invariant).
 
 Reproduce: ``python tools/scaling_bench.py`` (add ``--small 2 --large 8
---exec-cores 2`` for the second pair).  Raw: ``BENCH/scaling.json``.
+--exec-cores 2`` for the second pair).  Raw: ``BENCH/scaling_{{pair}}.json``.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    pair = f"{args.small}_{args.large}"
+    with open(os.path.join(REPO, "BENCH", f"BASELINE_{pair}.md"), "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{pair}.json"), "w") as f:
         json.dump(
             {"small": s, "large": l, "eff_join": eff_join, "eff_tile": eff_tile,
-             "eff_extract": eff_extract},
+             "eff_extract": eff_extract, "eff_scan": eff_scan},
             f, indent=2,
         )
     print(
         f"join efficiency {eff_join:.2f}, extract {eff_extract:.2f}, "
-        f"tile {eff_tile:.2f} -> BENCH/BASELINE.md"
+        f"tile {eff_tile:.2f}, scan-ceiling {eff_scan:.2f} -> BENCH/BASELINE_{pair}.md"
     )
 
 
