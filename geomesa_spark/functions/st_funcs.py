@@ -560,9 +560,10 @@ def st_dwithin(a: pd.Series, b: pd.Series, meters: pd.Series) -> pd.Series:
 def _relate_matrix(a, b) -> str | None:
     """DE-9IM matrix for the supported pair kinds.  point⊗point /
     point⊗line / point⊗polygon use exact case analysis; line⊗line,
-    line⊗polygon and polygon⊗polygon COMPUTE the nine intersection
-    dimensions (geo/de9im.py).  MULTI*/collection combos return None
-    (see the note at the bottom of geo/de9im.py)."""
+    line⊗polygon, polygon⊗polygon, every MULTI* combination and
+    homogeneous GEOMETRYCOLLECTIONs COMPUTE the nine intersection
+    dimensions jointly over part unions (geo/de9im.py).  Only
+    mixed-dimension collections return None."""
     P, L, G = wkt.WKB_POINT, wkt.WKB_LINESTRING, wkt.WKB_POLYGON
     if a is None or b is None:
         return None
@@ -610,7 +611,10 @@ def _relate_matrix(a, b) -> str | None:
         return de9im.line_poly_matrix(a.coords, b.coords)
     if a.kind == G and b.kind == L:
         return de9im.transpose(de9im.line_poly_matrix(b.coords, a.coords))
-    return None
+    # MULTI* / homogeneous collections: joint-union matrices (per-part
+    # merge would be wrong for the exterior row — see geo/de9im.py);
+    # mixed-dimension collections stay None
+    return de9im.relate_matrix(a, b)
 
 
 @_pd("string")

@@ -236,3 +236,80 @@ class TestPolyPoly:
             assert inter == relate.intersects(ga, gb), (ra, rb, m)
             contains = m[0] != "F" and m[6] == "F" and m[7] == "F"
             assert contains == relate.contains(ga, gb), (ra, rb, m)
+
+
+class TestMultiJoint:
+    """Joint-union MULTI* matrices — cases where per-part merging fails."""
+
+    def G(self, s):
+        return wkt.parse_wkt(s)
+
+    def test_multiline_union_covers(self):
+        # two collinear member segments whose UNION equals the line:
+        # per-part merge would say EI=1; the joint matrix must say equals
+        a = self.G("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))")
+        b = self.G("LINESTRING (0 0, 2 0)")
+        assert de9im.relate_matrix(a, b) == "1FFF0FFF2"
+
+    def test_multiline_parity_boundary(self):
+        # the shared endpoint (1,0) occurs twice -> even -> NOT boundary;
+        # outer endpoints are boundary
+        a = self.G("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))")
+        p_mid = self.G("POINT (1 0)")
+        p_end = self.G("POINT (0 0)")
+        assert de9im.relate_matrix(p_mid, a) == "0FFFFF1F2"[:3] + "FFF" + "102"  # interior
+        assert de9im.relate_matrix(p_end, a)[1] == "0"  # boundary hit
+
+    def test_multipolygon_within(self):
+        a = self.G("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+        b = self.G("POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))")
+        assert de9im.relate_matrix(a, b) == "2FF11F212"
+        assert de9im.relate_matrix(b, a) == de9im.transpose("2FF11F212")
+
+    def test_multipolygon_one_part_outside(self):
+        a = self.G("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((9 9, 10 9, 10 10, 9 10, 9 9)))")
+        b = self.G("POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))")
+        # first part inside (disjoint boundaries), second part fully outside:
+        # no boundary ever touches the other's boundary (BB=F) and B's
+        # boundary stays clear of A's interior (IB=F)
+        assert de9im.relate_matrix(a, b) == "2F21F1212"
+
+    def test_multipoint_vs_polygon(self):
+        a = self.G("MULTIPOINT ((0.5 0.5), (5 5))")
+        b = self.G("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        # one point in, one point out
+        assert de9im.relate_matrix(a, b) == "0F0FFF212"
+
+    def test_multipoint_vs_multipoint(self):
+        a = self.G("MULTIPOINT ((0 0), (1 1))")
+        b = self.G("MULTIPOINT ((1 1), (2 2))")
+        assert de9im.relate_matrix(a, b) == "0F0FFF0F2"
+
+    def test_part_nested_in_hole(self):
+        # b's second part sits inside b's first part's hole; the remaining
+        # hole annulus is ext(b) inside int(a) -> IE of a must be 2
+        a = self.G("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        b = self.G(
+            "MULTIPOLYGON (((1 1, 9 1, 9 9, 1 9, 1 1), (3 3, 7 3, 7 7, 3 7, 3 3)),"
+            " ((4 4, 6 4, 6 6, 4 6, 4 4)))"
+        )
+        m = de9im.relate_matrix(a, b)
+        assert m[2] == "2"  # IE: the annulus witness needs the filled-hole probe
+        assert m[0] == "2" and m[6] == "F"
+
+    def test_collection_homogeneous(self):
+        a = self.G("GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+        b = self.G("POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))")
+        assert de9im.relate_matrix(a, b) == "2FF11F212"
+
+    def test_collection_mixed_is_none(self):
+        a = self.G("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))")
+        b = self.G("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        assert de9im.relate_matrix(a, b) is None
+
+    def test_multiline_vs_polygon_joint(self):
+        # one member crosses the square, one is fully outside
+        a = self.G("MULTILINESTRING ((-1 0.5, 2 0.5), (5 5, 6 5))")
+        b = self.G("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        # boundary rows stay dim-0: endpoints are finite points (BE=0)
+        assert de9im.relate_matrix(a, b) == "101FF0212"
