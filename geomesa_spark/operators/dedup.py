@@ -494,3 +494,86 @@ def simhash_pairs_jvm(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def jaccard_pairs_prefix(
+    d: DataFrame,
+    threshold_num: int = 80,
+    threshold_den: int = 100,
+    id_col: str = "id",
+    toks_col: str = "toks",
+    bucket_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACT set-Jaccard pairs at ``threshold_num/threshold_den`` via
+    PPJoin-style prefix filtering (Xiao et al., WWW'08 — public
+    algorithm) — the scale-shaped replacement for the all-pairs
+    within-bucket self-join.
+
+    Lossless pruning: order each doc's tokens rarest-first by per-bucket
+    document frequency (ties by token); two sets with Jaccard ≥ τ MUST
+    share a token within their first ``n - ceil(τ·n) + 1`` tokens, so only
+    docs sharing a PREFIX token become candidates.  Prefix tokens are by
+    construction the rarest, which bounds the candidate-pair fan-out that
+    makes a naive inverted-index join explode on stopwords.  Candidates
+    are then verified exactly (array_intersect on the full token sets) —
+    results are bit-identical to brute force at any scale.
+
+    Plan: explode → df groupBy (1 shuffle) → rank window (1) → prefix
+    self-join (1) → distinct pairs (1) → verify joins keyed by unique id.
+    Every stage is linear in data or candidates; no cartesian anywhere.
+    Degenerate empty-token docs (Jaccard 0/0 — included by the brute-force
+    semantics) are paired in a separate branch that only touches the
+    empty docs.  Integer threshold math keeps the filter float-jitter-free
+    for oracle comparison.
+
+    Returns (id_a, id_b, i, u): intersection and union sizes.
+    """
+    from pyspark.sql import Window
+
+    bc = list(bucket_cols)
+    base = (
+        d.select(F.col(id_col).alias("id"), *bc, F.col(toks_col).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    nonempty = base.filter(F.col("n") > 0)
+    ex = nonempty.select("id", *bc, "n", F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy(*bc, "tok").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length k = n - ceil(tau*n) + 1, integer math
+    k = (
+        F.col("n")
+        - F.floor((F.col("n") * threshold_num + threshold_den - 1) / threshold_den)
+        + 1
+    )
+    w = Window.partitionBy(*bc, "id").orderBy("df", "tok")
+    pref = (
+        ex.join(dfreq, bc + ["tok"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*bc, "tok", "id")
+    )
+    cand = (
+        pref.select(*bc, "tok", F.col("id").alias("id_a"))
+        .join(pref.select(*bc, "tok", F.col("id").alias("id_b")), bc + ["tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
+                              F.col("n").alias("n_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
+                          F.col("n").alias("n_b")), "id_b")
+        .withColumn("i", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("i"))
+        .filter(F.col("i") * threshold_den >= F.col("u") * threshold_num)
+        .select("id_a", "id_b", "i", "u")
+    )
+    empty = base.filter(F.col("n") == 0)
+    ea = empty.select(*bc, F.col("id").alias("id_a"))
+    eb = empty.select(*bc, F.col("id").alias("id_b"))
+    empty_pairs = (
+        ea.join(eb, bc) if bc else ea.crossJoin(eb)
+    ).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.lit(0).alias("i"), F.lit(0).alias("u")
+    )
+    return verified.unionByName(empty_pairs)

@@ -248,3 +248,48 @@ def test_embedding_near_dup_empty_input(spark):
     out = dedup.embedding_near_dup(e, cos_threshold=0.9)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_jaccard_prefix_matches_bruteforce(spark):
+    """PPJoin prefix filtering must be LOSSLESS: bit-identical pairs to
+    the all-pairs python brute force, including degenerate empty docs."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        k = int(rng.integers(5, 20))
+        toks = list(dict.fromkeys(rng.choice(vocab, k).tolist()))
+        rows.append((f"d{i:03d}", "en" if i % 2 else "fr", toks))
+    # planted near-dups (same bucket)
+    rows.append(("d900", "en", rows[1][2]))                  # exact dup of d001
+    rows.append(("d901", "en", rows[1][2][:-1] + ["zzz"]))   # one-token change
+    # cross-bucket twin must NOT pair
+    rows.append(("d902", "fr", rows[1][2]))
+    # empty docs: brute-force semantics include (0, 0) pairs within bucket
+    rows.append(("d910", "en", []))
+    rows.append(("d911", "en", []))
+    rows.append(("d912", "fr", []))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, toks array<string>")
+
+    got = {
+        (r["id_a"], r["id_b"], r["i"], r["u"])
+        for r in dedup.jaccard_pairs_prefix(
+            df, 80, 100, id_col="doc_id", toks_col="toks", bucket_cols=("lang",)
+        ).collect()
+    }
+
+    want = set()
+    data = [(d, lang, set(t)) for d, lang, t in rows]
+    for x in range(len(data)):
+        for y in range(len(data)):
+            da, la, ta = data[x]
+            db, lb, tb = data[y]
+            if da >= db or la != lb:
+                continue
+            i = len(ta & tb)
+            u = len(ta | tb)
+            if i * 100 >= u * 80:
+                want.add((da, db, i, u))
+    assert got == want
+    assert ("d900", "d902", 0, 0) not in got  # cross-bucket twin excluded
+    assert any(a == "d910" and b == "d911" for a, b, _, _ in got)
