@@ -120,7 +120,8 @@ def assign_tiles(
 
 
 def tile_pyramid(
-    df: DataFrame, zooms: list[int], lon="lon", lat="lat", weight: str | None = None
+    df: DataFrame, zooms: list[int], lon="lon", lat="lat", weight: str | None = None,
+    partial_agg: bool = True,
 ) -> DataFrame:
     """Density pyramid: (zoom, tile_x, tile_y) → count (+ weighted sum).
 
@@ -145,11 +146,33 @@ def tile_pyramid(
     if weight is not None:
         aggs.append(F.sum(weight).alias("weight_sum"))
     d = df.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+    # pack (tile_x, tile_y) into ONE long key before the aggregation: the
+    # partial-agg output (the only large exchange in this job — ~distinct
+    # tiles per task rows) then ships key+count = 16 bytes/row instead of
+    # x+y+count = 24, and the hash map probes a single long.  x/y are
+    # re-derived AFTER the agg, on tile-count rows (round-2 verdict item 3:
+    # this stage was memory-bandwidth-bound — shed bytes/row).
+    tkey = F.shiftleft(_tile_xy_expr(lon, base_z, 360.0, 180.0), base_z).bitwiseOR(
+        _tile_xy_expr(lat, base_z, 180.0, 90.0)
+    )
+    keyed = d.select(tkey.alias("tkey"), *([weight] if weight is not None else []))
+    # partial_agg=False: when the base-zoom keyspace (4^base_z tiles) is
+    # comparable to rows-per-task — high zooms over wide-area data — the
+    # map-side partial agg compresses ~nothing yet builds a task-sized hash
+    # map AND pads the exchange rows with a count column.  Shuffling the
+    # raw single-column key instead ships 16-byte rows (vs 24) and
+    # aggregates once, post-exchange, over small per-partition key ranges.
+    # Keep the default True for low zooms / dense data, where map-side
+    # combine is the win (DensityScan partial/final shape).
+    if not partial_agg:
+        keyed = keyed.repartition("tkey")
     base = (
-        d.withColumn("tile_x", _tile_xy_expr(lon, base_z, 360.0, 180.0))
-        .withColumn("tile_y", _tile_xy_expr(lat, base_z, 180.0, 90.0))
-        .groupBy("tile_x", "tile_y")
+        keyed
+        .groupBy("tkey")
         .agg(*aggs)
+        .withColumn("tile_x", F.shiftrightunsigned(F.col("tkey"), base_z))
+        .withColumn("tile_y", F.col("tkey").bitwiseAND(F.lit((1 << base_z) - 1)))
+        .drop("tkey")
     )
     if len(zooms) > 1:
         from ..cache import swap_cache

@@ -60,6 +60,16 @@ def test_pyramid_rollup_consistent(spark, points_df):
     assert r5 == d5
 
 
+def test_pyramid_partial_agg_parity(spark, points_df):
+    """partial_agg=False (raw-key shuffle, post-exchange agg) must be
+    bit-identical to the default map-side-combine plan."""
+    a = tiling.tile_pyramid(points_df, [5, 8, 11], partial_agg=True)
+    b = tiling.tile_pyramid(points_df, [5, 8, 11], partial_agg=False)
+    ca = sorted(map(tuple, a.collect()))
+    cb = sorted(map(tuple, b.collect()))
+    assert ca == cb and len(ca) > 0
+
+
 def test_rasterize_grid_counts(spark, points_df):
     out = tiling.rasterize_tiles(points_df, zoom=4, w=8, h=8)
     pdf = out.toPandas()
