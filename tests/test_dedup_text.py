@@ -209,8 +209,10 @@ class TestMultimodal:
         }
         assert (pdf["width"] >= 16).all() and (pdf["height"] >= 16).all()
         assert pdf["feature"].apply(len).eq(8).all()
-        norms = pdf["feature"].apply(lambda v: np.linalg.norm(v))
-        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+        # real pixel statistics: every component scaled to [0, 1]
+        feats_mat = np.stack(pdf["feature"].to_numpy())
+        assert (feats_mat >= 0.0).all() and (feats_mat <= 1.0).all()
+        assert feats_mat.std() > 0  # not a constant vector
         # deterministic: second run identical
         pdf2 = multimodal.media_features(docs.limit(300), feature_dim=8).toPandas()
         a = pdf.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
