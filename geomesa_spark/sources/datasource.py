@@ -1,0 +1,232 @@
+"""Python Data Source API front-ends (Spark 4, SPARK-44076).
+
+Two sources that make the engine's converter/changelog surfaces
+first-class ``spark.read.format(...)`` citizens instead of driver-side
+helpers:
+
+- :class:`ShapefileDataSource` (``geomesa_shapefile``): batch reads of
+  .shp/.dbf file sets, ONE INPUT PARTITION PER FILE parsed executor-side
+  — unlike :func:`..sources.shapefile.read_shapefile` (driver-side,
+  export-sized), this scales to directories of shapefiles the way the
+  reference's GeoTools ShapefileDataStore feeds its ingest (public tree:
+  geomesa-tools converter ingest; mount empty at survey time, SURVEY §0).
+
+- :class:`ChangelogDataSource` (``geomesa_changelog``): a STREAMING
+  source over an append-only directory of ndjson record files with
+  monotonic offsets and deterministic replay (``readBetweenOffsets``) —
+  the KafkaDataStore GeoMessage feed restated over the one transport that
+  exists offline.  Offset = number of consumed files, exactly the Kafka
+  (partition, offset) contract one level up; swapping the transport back
+  to a real broker is :func:`..streaming.live.kafka_changelog_source`.
+  This closes the round-2 "Kafka e2e never executed" gap to the extent
+  the sandbox allows: every downstream stage (upsert, windows, lambda
+  persistence) now runs end-to-end from a real readStream source with
+  offset tracking and replay.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+#: GeoMessage wire analogue (matches streaming.live.changelog_upsert)
+CHANGELOG_SCHEMA = "feature_id string, ts timestamp, lon double, lat double, op string"
+
+
+# ---------------------------------------------------------------------------
+# shapefile batch source
+# ---------------------------------------------------------------------------
+
+
+def _shp_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.shp")))
+    if path.endswith(".shp"):
+        return [path]
+    return sorted(glob.glob(path + "*.shp")) or [path + ".shp"]
+
+
+def _dbf_fields(dbf_path: str) -> list[tuple[str, str, int, int]]:
+    import struct
+
+    with open(dbf_path, "rb") as f:
+        d = f.read(32 * 256)
+    fields = []
+    fpos = 32
+    while fpos < len(d) and d[fpos] != 0x0D:
+        name = d[fpos : fpos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(d[fpos + 11])
+        ln, dec = d[fpos + 16], d[fpos + 17]
+        fields.append((name, ftype, ln, dec))
+        fpos += 32
+    return fields
+
+
+class _ShpPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ShapefileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("paths")
+        if not self.path:
+            raise ValueError("geomesa_shapefile requires .load(path)")
+
+    def partitions(self):
+        return [_ShpPartition(p) for p in _shp_files(self.path)]
+
+    def read(self, partition: _ShpPartition) -> Iterator[tuple]:
+        # executor-side parse; only this file's rows materialize here
+        from . import shapefile as shp
+
+        base = partition.path[: -len(".shp")]
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        wkts = shp.parse_shp_bytes(data)
+        attrs: dict[str, list] = {}
+        if os.path.exists(base + ".dbf"):
+            with open(base + ".dbf", "rb") as f:
+                attrs = shp.parse_dbf_bytes(f.read())
+        names = list(attrs)
+        for i, w in enumerate(wkts):
+            yield (w, *[attrs[n][i] for n in names])
+
+
+class ShapefileDataSource(DataSource):
+    """``spark.read.format("geomesa_shapefile").load(path)`` — path is a
+    .shp file, a directory of them, or a basename."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "geomesa_shapefile"
+
+    def schema(self) -> str:
+        files = _shp_files(self.options.get("path") or self.options.get("paths") or "")
+        if not files or not os.path.exists(files[0]):
+            raise ValueError(f"no shapefiles under {self.options.get('path')!r}")
+        cols = ["wkt string"]
+        dbf = files[0][: -len(".shp")] + ".dbf"
+        if os.path.exists(dbf):
+            for name, ftype, _, dec in _dbf_fields(dbf):
+                if ftype == "N":
+                    cols.append(f"{name} {'double' if dec else 'bigint'}")
+                else:
+                    cols.append(f"{name} string")
+        return ", ".join(cols)
+
+    def reader(self, schema) -> ShapefileReader:
+        return ShapefileReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# changelog streaming source
+# ---------------------------------------------------------------------------
+
+
+def _log_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.ndjson")))
+
+
+def _parse_ts(v) -> datetime | None:
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return datetime.fromtimestamp(float(v), tz=timezone.utc).replace(tzinfo=None)
+    return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+def _parse_log_rows(files: list[str]) -> list[tuple]:
+    rows = []
+    for p in files:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                m = json.loads(line)
+                rows.append(
+                    (
+                        m.get("feature_id"),
+                        _parse_ts(m.get("ts")),
+                        None if m.get("lon") is None else float(m["lon"]),
+                        None if m.get("lat") is None else float(m["lat"]),
+                        m.get("op", "insert"),
+                    )
+                )
+    return rows
+
+
+class ChangelogStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"index": number of whole files consumed}.  Files are
+    name-sorted, append-only, immutable once written (the producer writes
+    ``<seq>.ndjson`` atomically) — the Kafka log contract over a dir."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("geomesa_changelog requires .option('path', dir)")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        files = _log_files(self.path)
+        new = files[int(start["index"]) :]
+        return iter(_parse_log_rows(new)), {"index": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = _log_files(self.path)
+        return iter(_parse_log_rows(files[int(start["index"]) : int(end["index"])]))
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the producer's concern (Kafka parity)
+
+
+class ChangelogDataSource(DataSource):
+    """``spark.readStream.format("geomesa_changelog").option("path", dir)
+    .load()`` → the GeoMessage changelog schema."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "geomesa_changelog"
+
+    def schema(self) -> str:
+        return CHANGELOG_SCHEMA
+
+    def simpleStreamReader(self, schema) -> ChangelogStreamReader:
+        return ChangelogStreamReader(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register both sources on a session."""
+    if id(spark) in _REGISTERED:
+        return
+    spark.dataSource.register(ShapefileDataSource)
+    spark.dataSource.register(ChangelogDataSource)
+    _REGISTERED.add(id(spark))
+
+
+def write_changelog_batch(path: str, seq: int, messages: list[dict]) -> str:
+    """Producer helper: atomically append one ``<seq>.ndjson`` batch."""
+    os.makedirs(path, exist_ok=True)
+    final = os.path.join(path, f"{seq:08d}.ndjson")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        for m in messages:
+            f.write(json.dumps(m) + "\n")
+    os.replace(tmp, final)
+    return final

@@ -143,12 +143,10 @@ def write_shapefile(df, path: str, wkt_col: str = "wkt", max_rows: int = 1_000_0
         f.write(bytes(dbf))
 
 
-def read_shapefile(spark, path: str):
-    """path(.shp/.dbf) → DataFrame(wkt [, attrs…]).  Points + polygons."""
-    with open(path + ".shp", "rb") as f:
-        data = f.read()
+def parse_shp_bytes(data: bytes) -> list[str | None]:
+    """.shp record bytes → WKT strings (None for unsupported types)."""
     pos = 100
-    wkts = []
+    wkts: list[str | None] = []
     while pos < len(data):
         (_, words) = struct.unpack_from(">ii", data, pos)
         pos += 8
@@ -168,40 +166,54 @@ def read_shapefile(spark, path: str):
         else:
             wkts.append(None)
         pos += 2 * words
-    out = pd.DataFrame({"wkt": wkts})
+    return wkts
+
+
+def parse_dbf_bytes(d: bytes) -> dict[str, list]:
+    """.dbf bytes → {column: values} (N → int/float, C → str)."""
+    nrec, hdr_len, rec_len = struct.unpack_from("<IHH", d, 4)
+    fields = []
+    fpos = 32
+    while d[fpos] != 0x0D:
+        name = d[fpos:fpos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(d[fpos + 11])
+        ln = d[fpos + 16]
+        dec = d[fpos + 17]
+        fields.append((name, ftype, ln, dec))
+        fpos += 32
+    rpos = hdr_len
+    cols: dict[str, list] = {n: [] for n, _, _, _ in fields}
+    for _ in range(nrec):
+        p = rpos + 1
+        for name, ftype, ln, dec in fields:
+            raw = d[p:p + ln]
+            p += ln
+            if ftype == "N":
+                s = raw.strip()
+                if not s:
+                    cols[name].append(None)
+                elif dec:
+                    cols[name].append(float(s))
+                else:
+                    cols[name].append(int(s))
+            else:
+                cols[name].append(raw.decode("utf-8", "replace").rstrip())
+        rpos += rec_len
+    return cols
+
+
+def read_shapefile(spark, path: str):
+    """path(.shp/.dbf) → DataFrame(wkt [, attrs…]).  Points + polygons.
+    Driver-side (export-sized); the distributed path is
+    ``spark.read.format("geomesa_shapefile")`` (sources/datasource.py)."""
+    with open(path + ".shp", "rb") as f:
+        data = f.read()
+    out = pd.DataFrame({"wkt": parse_shp_bytes(data)})
 
     dbf_path = path + ".dbf"
     if os.path.exists(dbf_path):
         with open(dbf_path, "rb") as f:
             d = f.read()
-        nrec, hdr_len, rec_len = struct.unpack_from("<IHH", d, 4)
-        fields = []
-        fpos = 32
-        while d[fpos] != 0x0D:
-            name = d[fpos:fpos + 11].split(b"\x00")[0].decode("ascii")
-            ftype = chr(d[fpos + 11])
-            ln = d[fpos + 16]
-            dec = d[fpos + 17]
-            fields.append((name, ftype, ln, dec))
-            fpos += 32
-        rpos = hdr_len
-        cols: dict[str, list] = {n: [] for n, _, _, _ in fields}
-        for _ in range(nrec):
-            p = rpos + 1
-            for name, ftype, ln, dec in fields:
-                raw = d[p:p + ln]
-                p += ln
-                if ftype == "N":
-                    s = raw.strip()
-                    if not s:
-                        cols[name].append(None)
-                    elif dec:
-                        cols[name].append(float(s))
-                    else:
-                        cols[name].append(int(s))
-                else:
-                    cols[name].append(raw.decode("utf-8", "replace").rstrip())
-            rpos += rec_len
-        for name, vals in cols.items():
+        for name, vals in parse_dbf_bytes(d).items():
             out[name] = vals
     return spark.createDataFrame(out)

@@ -71,6 +71,22 @@ def kafka_changelog_source(
     )
 
 
+def changelog_dir_source(spark, path: str) -> DataFrame:
+    """Directory-log changelog feed via the ``geomesa_changelog`` Python
+    data source (sources/datasource.py): an append-only ndjson file log
+    with monotonic offsets and deterministic replay — the Kafka GeoMessage
+    transport restated over the one medium that exists offline, so the
+    full readStream → upsert → lambda path EXECUTES end-to-end (the
+    :func:`kafka_changelog_source` wrapper above remains the drop-in for a
+    real broker)."""
+    from ..sources import datasource
+
+    datasource.register(spark)
+    return (
+        spark.readStream.format("geomesa_changelog").option("path", path).load()
+    ).filter(F.col("feature_id").isNotNull() & F.col("ts").isNotNull())
+
+
 def changelog_upsert(
     changes: DataFrame, ttl_seconds: int | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:
