@@ -55,6 +55,18 @@ KNN_K = 5
 
 ZOOMS = [5, 8, 11]
 
+#: fixed track polyline for the tube-select corridor (lon, lat vertices,
+#: ordered) and the route fixtures for route matching — both small-side
+#: broadcast fixtures, mirrored verbatim into the DuckDB oracle
+TUBE_TRACK = [(0.0, 0.0), (5.0, 2.0), (10.0, 5.0), (15.0, 10.0)]
+TUBE_BUFFER_M = 150_000.0
+ROUTES = [
+    ("R1", [(-60.0, -25.0), (-50.0, -20.0), (-40.0, -15.0)]),
+    ("R2", [(100.0, 40.0), (110.0, 45.0), (120.0, 50.0)]),
+    ("R3", [(-140.0, 20.0), (-130.0, 30.0), (-120.0, 40.0)]),
+]
+ROUTE_MAX_DIST_M = 120_000.0
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -597,8 +609,11 @@ def q_simhash_md5_pairs(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Rows-only: multimodal feature extraction over the span corpus
-    (decode stage stubbed deterministically — no image libs offline)."""
+    """Rows-only: multimodal feature extraction over the span corpus.
+    The decode is REAL (pure numpy/stdlib PNG/BMP/PPM codecs — inflate,
+    scanline unfiltering, pixel statistics); payload bytes are synthesized
+    deterministically from each media_ref partition-local, since the span
+    corpus stores refs, not blobs."""
     from .operators import multimodal
     from .sources import corpus
 
@@ -634,6 +649,174 @@ def q_text_quality(spark, sf_dir):
         (F.length("text") < 200).alias("is_short"),
         F.expr(f"CAST({stop} AS BIGINT)").alias("n_stopwords"),
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style decontamination: corpus docs (doc_id % 10 != 0)
+    sharing any word 8-gram with the 'benchmark' split (doc_id % 10 = 0).
+    Engine: broadcast benchmark n-gram hashes + JVM gram generation; the
+    oracle brute-forces the identical split on gram STRINGS (counts agree
+    unless two distinct grams collide in 64 bits — odds ~1e-10 here)."""
+    from .operators.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.expr("doc_id % 10 = 0"))
+    corpus = d.filter(F.expr("doc_id % 10 != 0"))
+    return benchmark_contamination(corpus, bench, n=8)
+
+
+def q_set_ops_users(spark, sf_dir):
+    """Union / intersect / except (SURVEY §2.5, previously untested
+    directly): user cohorts by event type under DISTINCT set semantics —
+    the same three operators DuckDB evaluates natively."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clickers.intersect(buyers).select(F.lit("both").alias("op"), "user_id")
+        .unionByName(
+            clickers.subtract(buyers).select(F.lit("click_only").alias("op"), "user_id")
+        )
+        .unionByName(
+            clickers.union(buyers).distinct().select(F.lit("either").alias("op"), "user_id")
+        )
+    )
+
+
+def q_descriptive_stats(spark, sf_dir):
+    """DescriptiveStats analogue (SURVEY §2.4: count/min/max/mean/
+    variance/stddev/skewness per group).  Float discipline: moments are
+    assembled from EXACT integer power sums (cents; s3 ≤ ~5e16 < 2^63),
+    with one identical final double expression on both engines, rounded
+    to fixed precision — order-independent and hash-exact."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vc", F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.expr("vc * vc")).alias("s2"),
+        F.sum(F.expr("vc * vc * vc")).alias("s3"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "min_cents",
+        "max_cents",
+        F.expr("CAST(ROUND(s1 / n * 1000000) AS BIGINT)").alias("mean_micros"),
+        F.expr("CAST(ROUND((s2 / n - (s1 / n) * (s1 / n)) * 10000) AS BIGINT)").alias(
+            "var_x1e4"
+        ),
+        F.expr(
+            "CAST(ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+            " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT)"
+        ).alias("skew_micros"),
+    )
+
+
+def q_tube_select_corridor(spark, sf_dir):
+    """Tube select (SURVEY §2.3, previously pytest-only): events within
+    ``TUBE_BUFFER_M`` of the fixed track polyline.  Engine path = cell
+    cover broadcast + Arrow point-to-segment geodesic refine; the DuckDB
+    twin brute-forces the identical equirectangular+haversine kernel over
+    every (point, segment) pair."""
+    import pandas as pd
+
+    from .operators import tube
+
+    track = pd.DataFrame(TUBE_TRACK, columns=["lon", "lat"])
+    pts = _event_points(spark, sf_dir)
+    return tube.tube_select(
+        pts, track, buffer_m=TUBE_BUFFER_M, res=8, id_col="event_id"
+    ).select("event_id")
+
+
+def q_route_match(spark, sf_dir):
+    """Route join (SURVEY §2.3, previously pytest-only): each event within
+    ``ROUTE_MAX_DIST_M`` of a route matched to its NEAREST route, ties by
+    route_id — mirrored exactly by the oracle's ROW_NUMBER pick."""
+    from .operators import tube
+
+    routes = [
+        {"route_id": rid, "wkt": "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"}
+        for rid, pts in ROUTES
+    ]
+    pts = _event_points(spark, sf_dir)
+    return tube.route_join(
+        pts, routes, max_dist_m=ROUTE_MAX_DIST_M, res=8, id_col="event_id"
+    ).select("event_id", "route_id")
+
+
+def _seg_dist_sql(segs_values: str, extra_cols: str = "") -> str:
+    """CTE chain computing min point-to-polyline distance with the EXACT
+    expression sequence of kernels.point_segments_dist_m (local
+    equirectangular projection, clamped parametric point, haversine) —
+    identical IEEE ops on both engines.  ``segs_values``: VALUES rows
+    ``({extra...,} x1, y1, x2, y2)``; ``extra_cols``: e.g. ``route_id,``."""
+    hav = _HAVERSINE.format(lon1="lon", lat1="lat", lon2="nx", lat2="ny")
+    return f"""
+            segs AS (SELECT * FROM (VALUES {segs_values})
+                     AS t({extra_cols} x1, y1, x2, y2)),
+            d1 AS (
+              SELECT event_id, {extra_cols} lon, lat, x1, y1, x2, y2,
+                     (x2 - x1) * cos(radians((y1 + y2) / 2.0)) AS dx,
+                     (y2 - y1) AS dy,
+                     (lon - x1) * cos(radians((y1 + y2) / 2.0)) AS px,
+                     (lat - y1) AS py
+              FROM pts CROSS JOIN segs),
+            d2 AS (
+              SELECT event_id, {extra_cols} lon, lat, x1, y1, x2, y2,
+                     CASE WHEN dx * dx + dy * dy > 0
+                          THEN LEAST(GREATEST((px * dx + py * dy) / (dx * dx + dy * dy), 0.0), 1.0)
+                          ELSE 0.0 END AS t
+              FROM d1),
+            d3 AS (
+              SELECT event_id, {extra_cols} lon, lat,
+                     x1 + t * (x2 - x1) AS nx, y1 + t * (y2 - y1) AS ny
+              FROM d2),
+            d4 AS (SELECT event_id, {extra_cols} {hav} AS dist FROM d3)"""
+
+
+def _tube_sql() -> str:
+    segs = ", ".join(
+        f"({x1}, {y1}, {x2}, {y2})"
+        for (x1, y1), (x2, y2) in zip(TUBE_TRACK, TUBE_TRACK[1:])
+    )
+    return f"""
+        WITH {_pts_cte()},
+        {_seg_dist_sql(segs)},
+        m AS (SELECT event_id, MIN(dist) AS dm FROM d4 GROUP BY event_id)
+        SELECT event_id FROM m WHERE dm <= {TUBE_BUFFER_M}
+    """
+
+
+def _route_sql() -> str:
+    segs = ", ".join(
+        f"('{rid}', {x1}, {y1}, {x2}, {y2})"
+        for rid, pts in ROUTES
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    return f"""
+        WITH {_pts_cte()},
+        {_seg_dist_sql(segs, extra_cols="route_id,")},
+        m AS (SELECT event_id, route_id, MIN(dist) AS dm
+              FROM d4 GROUP BY event_id, route_id),
+        f AS (SELECT event_id, route_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_id
+                                        ORDER BY dm ASC, route_id ASC) AS rk
+              FROM m WHERE dm <= {ROUTE_MAX_DIST_M})
+        SELECT event_id, route_id FROM f WHERE rk = 1
+    """
+
+
+_DESC_FINAL = (
+    "CAST(ROUND(s1 / n * 1000000) AS BIGINT) AS mean_micros, "
+    "CAST(ROUND((s2 / n - (s1 / n) * (s1 / n)) * 10000) AS BIGINT) AS var_x1e4, "
+    "CAST(ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+    " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT) AS skew_micros"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "doc_fingerprints": q_doc_fingerprints,
+        "decontaminate": q_decontaminate,
+        "set_ops_users": q_set_ops_users,
+        "descriptive_stats": q_descriptive_stats,
+        "tube_select_corridor": q_tube_select_corridor,
+        "route_match": q_route_match,
     }
 
 
@@ -1068,4 +1256,49 @@ def oracle_sql() -> dict[str, str]:
                      AS n_stopwords
             FROM documents
         """,
+        "decontaminate": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+                                    i -> array_to_string(toks[i:i+7], ' ')) AS grams
+              FROM t),
+            bench AS (
+              SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 10 = 0),
+            corpus AS (
+              SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 10 != 0)
+            SELECT doc_id, COUNT(DISTINCT gram) AS n_hits
+            FROM corpus JOIN bench USING (gram)
+            GROUP BY doc_id
+        """,
+        "set_ops_users": """
+            WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT 'both' AS op, user_id
+            FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)
+            UNION ALL
+            SELECT 'click_only' AS op, user_id
+            FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b)
+            UNION ALL
+            SELECT 'either' AS op, user_id
+            FROM (SELECT user_id FROM c UNION SELECT user_id FROM b)
+        """,
+        "descriptive_stats": f"""
+            WITH e AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            a AS (SELECT event_type, COUNT(*) AS n,
+                         MIN(vc) AS min_cents, MAX(vc) AS max_cents,
+                         CAST(SUM(vc) AS BIGINT) AS s1,
+                         CAST(SUM(vc * vc) AS BIGINT) AS s2,
+                         CAST(SUM(vc * vc * vc) AS BIGINT) AS s3
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n, min_cents, max_cents, {_DESC_FINAL}
+            FROM a
+        """,
+        "tube_select_corridor": _tube_sql(),
+        "route_match": _route_sql(),
     }

@@ -577,3 +577,47 @@ def jaccard_pairs_prefix(
         "id_a", "id_b", F.lit(0).alias("i"), F.lit(0).alias("u")
     )
     return verified.unionByName(empty_pairs)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data DECONTAMINATION: flag corpus docs sharing any word
+    n-gram with a benchmark/eval set (the public GPT-3-style 13-gram /
+    8-gram overlap method, Brown et al. 2020 appendix C).
+
+    100-TB shape: the benchmark is the SMALL side — its distinct n-gram
+    hashes broadcast everywhere; corpus n-grams are generated entirely
+    JVM-side (sequence + slice + concat_ws + xxhash64, whole-stage
+    codegen), so the only shuffle is the per-doc countDistinct, which is
+    map-side combinable on (doc, hash).  Hashing keeps join keys at 8
+    bytes; the odds two DISTINCT grams collide within a ~1e6-gram
+    benchmark are ~1e-7 (64-bit birthday), documented.
+
+    Returns (id_col, n_hits): contaminated docs only, with the number of
+    distinct shared n-grams."""
+    toks = f"filter(split(lower({text_col}), ' '), x -> length(x) > 0)"
+    gram_expr = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n} + 1), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+    def grams(df: DataFrame, *cols):
+        return (
+            df.withColumn("_toks", F.expr(toks))
+            .select(*cols, F.explode(F.expr(gram_expr)).alias("g"))
+        )
+
+    bench_grams = grams(bench).distinct()
+    corpus_grams = grams(docs, id_col)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
