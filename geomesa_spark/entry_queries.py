@@ -636,6 +636,25 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Full winnowing fingerprint SET (k=16-char grams, w=32 windows) —
+    the all-JVM md5 tier; DuckDB runs the identical normalize -> md5 ->
+    window-min -> distinct pipeline (lexicographic min on fixed-width hex
+    == numeric min on both engines)."""
+    from .functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=16, w=32)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 keywords per document by TF-IDF.  Rank score is the exact
+    integer tf * idf_micros (idf quantized once per distinct df), so rank
+    order is ulp-independent; ties break by term."""
+    from .functions.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -866,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descriptive_stats": q_descriptive_stats,
         "tube_select_corridor": q_tube_select_corridor,
         "route_match": q_route_match,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -1301,4 +1322,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tube_select_corridor": _tube_sql(),
         "route_match": _route_sql(),
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(length(s) - 16 + 1, 0) + 1),
+                                    i -> substring(md5(substring(s, i, 16)), 1, 16)) AS grams
+              FROM t),
+            m AS (
+              SELECT doc_id, grams,
+                     greatest(len(grams) - 32 + 1, 1) AS nw
+              FROM g WHERE len(grams) > 0),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, nw + 1),
+                                   j -> list_aggregate(grams[j:j+31], 'min'))) AS fps
+              FROM m)
+            SELECT doc_id, UNNEST(fps) AS fp FROM w
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, UNNEST(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            idf AS (
+              SELECT term,
+                     CAST(ROUND((ln(((SELECT COUNT(*) FROM documents) + 1)
+                                    / (COUNT(*) + 1.0)) + 1.0) * 1000000) AS BIGINT)
+                       AS idf_micros
+              FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf * idf.idf_micros AS score_micros,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * idf.idf_micros DESC,
+                                                 tf.term ASC) AS rank
+              FROM tf JOIN idf USING (term))
+            SELECT doc_id, rank, term, score_micros
+            FROM scored WHERE rank <= 5
+        """,
     }

@@ -130,3 +130,102 @@ def fingerprint_udf(window: int = 16):
         return pd.Series(out)
 
     return fp
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FULL winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): the distinct
+    per-window minima of character k-gram hashes — the plagiarism-grade
+    fingerprint SET, not just a global min (that is :func:`fingerprint_udf`,
+    the numpy throughput tier; this is the all-JVM, oracle-portable tier,
+    same two-tier pattern as MinHash/SimHash in ``operators/dedup``).
+
+    Guarantee: any shared substring of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint.
+
+    Engine shape: whitespace-normalize -> md5 each k-gram (first 16 hex
+    chars; lexicographic min == numeric min on fixed-width hex) ->
+    sliding-window array_min -> array_distinct -> explode.  Everything is
+    one whole-stage-codegen project + explode: linear work, zero
+    shuffles; grams never leave their row.
+
+    Returns (id_col, fp) rows; docs shorter than k yield none.
+    """
+    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    # array — docs shorter than k must be gated explicitly or they produce
+    # spurious grams from out-of-range substrings.
+    grams = (
+        f"CASE WHEN length(_norm) < {k} THEN array() ELSE "
+        f"transform(sequence(1, length(_norm) - {k} + 1), "
+        f"i -> substring(md5(substring(_norm, i, {k})), 1, 16)) END"
+    )
+    fps = (
+        f"CASE WHEN size(_grams) = 0 THEN array() ELSE "
+        f"array_distinct(transform(sequence(1, greatest(size(_grams) - {w} + 1, 1)), "
+        f"j -> array_min(slice(_grams, j, {w})))) END"
+    )
+    return (
+        df.withColumn("_norm", F.expr(norm))
+        .withColumn("_grams", F.expr(grams))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (smooth idf,
+    ``ln((N+1)/(df+1)) + 1`` — the sklearn convention).
+
+    Float discipline for cross-engine exactness: idf is computed ONCE per
+    distinct document frequency from integers and immediately quantized
+    to micros; the ranking score is then the exact integer
+    ``tf * idf_micros``, so rank order cannot depend on engine ulps.
+    Ties break by term.
+
+    100-TB shape: tokenize + per-doc term counts are one map-side-
+    combinable shuffle on (doc, term); document frequencies aggregate the
+    ALREADY-distinct (doc, term) pairs (no second distinct); the idf
+    table is vocabulary-sized and broadcast back.  N comes from a
+    metadata-scale count.
+
+    Returns (id_col, rank, term, score_micros).
+    """
+    n_docs = df.count()
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    tf = (
+        df.select(id_col, F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf_micros",
+            F.expr(f"CAST(ROUND((ln(({n_docs} + 1) / (df + 1.0)) + 1.0) * 1000000) AS BIGINT)"),
+        )
+        .drop("df")
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "score_micros", F.expr("tf * idf_micros")
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score_micros"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score_micros")
+    )

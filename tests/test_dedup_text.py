@@ -295,3 +295,97 @@ def test_jaccard_prefix_matches_bruteforce(spark):
     assert got == want
     assert ("d900", "d902", 0, 0) not in got  # cross-bucket twin excluded
     assert any(a == "d910" and b == "d911" for a, b, _, _ in got)
+
+
+class TestWinnowFingerprints:
+    def test_shared_substring_guarantee(self, spark):
+        """Winnowing guarantee: a shared substring of length >= w + k - 1
+        (here 32 + 16 - 1 = 47) forces at least one shared fingerprint."""
+        shared = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+        assert len(shared) >= 47
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["a", "b", "c"],
+                    "text": [
+                        "PREFIX AAAA " + shared + " SUFFIX ZZZZ",
+                        "totally different head " + shared + " and tail",
+                        "no overlap with the others whatsoever in any window here",
+                    ],
+                }
+            )
+        )
+        fps = text_fns.winnow_fingerprints(df, k=16, w=32).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+        assert by_doc["a"] & by_doc["b"]
+        assert not (by_doc["a"] & by_doc["c"])
+
+    def test_whitespace_normalized_and_short_docs(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["x", "y", "tiny"],
+                    "text": [
+                        "some document  text\there with    enough length to gram",
+                        "some document text here with enough length to gram",
+                        "short",  # < k chars -> zero fingerprints
+                    ],
+                }
+            )
+        )
+        fps = text_fns.winnow_fingerprints(df, k=16, w=32).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+        assert by_doc["x"] == by_doc["y"]
+        assert "tiny" not in by_doc
+
+    def test_numpy_tier_agreement_on_exact_dups(self, spark):
+        """Both tiers must put byte-identical docs in the same class."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["p", "q"],
+                    "text": ["identical content for both rows, long enough to window"] * 2,
+                }
+            )
+        )
+        jvm = text_fns.winnow_fingerprints(df).toPandas()
+        sets = {d: set(g["fp"]) for d, g in jvm.groupby("doc_id")}
+        assert sets["p"] == sets["q"]
+
+
+class TestTfidfTopk:
+    def test_rare_term_outranks_common(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["d1", "d2", "d3"],
+                    "text": [
+                        "common common common zebra",
+                        "common filler words here",
+                        "common more filler text",
+                    ],
+                }
+            )
+        )
+        out = text_fns.tfidf_topk(df, k=2).toPandas()
+        d1 = out[out["doc_id"] == "d1"].sort_values("rank")
+        # zebra: df=1 -> high idf; common: df=3 -> idf floor. tf=3 for
+        # common vs 1 for zebra: 1*ln(4/2)+1 ~ 1.69 vs 3*(ln(4/4)+1)=3.0
+        # -> common still wins on tf; assert exact integer scores instead
+        terms = dict(zip(d1["term"], d1["score_micros"]))
+        assert terms["common"] == 3 * 1_000_000  # ln(4/4)+1 == 1.0 exactly
+        assert terms["zebra"] == round((np.log(4 / 2) + 1) * 1e6)
+        assert (d1["rank"].tolist() == [1, 2]) and set(d1["term"]) == {"common", "zebra"}
+
+    def test_topk_bound_and_tie_break(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["d"],
+                    "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+                }
+            )
+        )
+        out = text_fns.tfidf_topk(df, k=3).toPandas().sort_values("rank")
+        # all terms tf=1, df=1 -> identical scores; ties break by term asc
+        assert out["term"].tolist() == ["alpha", "beta", "delta"]
