@@ -655,6 +655,24 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality filter (word-level rules), integer-exact:
+    word count / mean-word-length / alpha-fraction / stopword rules as
+    cross-multiplied integer comparisons — no float anywhere."""
+    from .functions.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"), min_words=30, min_stopwords=1)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-doc duplicate-bigram metrics (Gopher repetition family):
+    total/distinct gram counts + max multiplicity per document, built
+    row-locally then counted via one map-side-combinable shuffle."""
+    from .functions.text import doc_repetition
+
+    return doc_repetition(_t(spark, sf_dir, "documents"), n=2, max_dup_pct=5)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -887,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_match": q_route_match,
         "winnow_fingerprints": q_winnow_fingerprints,
         "tfidf_topk": q_tfidf_topk,
+        "gopher_quality": q_gopher_quality,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1365,5 +1385,60 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN idf USING (term))
             SELECT doc_id, rank, term, score_micros
             FROM scored WHERE rank <= 5
+        """,
+        "gopher_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                          AS BIGINT) AS total_word_chars,
+                     CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS n_alpha_words,
+                     CAST(len(list_filter(list_distinct(toks),
+                          x -> x IN ('the','be','to','of','and','that','have','with')))
+                          AS BIGINT) AS n_stopwords
+              FROM t)
+            SELECT doc_id, n_words, total_word_chars, n_alpha_words, n_stopwords,
+                   n_words BETWEEN 30 AND 100000 AS word_count_ok,
+                   (n_words > 0 AND 3*n_words <= total_word_chars
+                     AND total_word_chars <= 10*n_words) AS mean_word_len_ok,
+                   5*n_alpha_words >= 4*n_words AS alpha_ok,
+                   n_stopwords >= 1 AS stopword_ok,
+                   ((n_words BETWEEN 30 AND 100000)
+                     AND (n_words > 0 AND 3*n_words <= total_word_chars
+                          AND total_word_chars <= 10*n_words)
+                     AND 5*n_alpha_words >= 4*n_words
+                     AND n_stopwords >= 1) AS keep
+            FROM m
+        """,
+        "doc_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+                       list_transform(range(1, len(toks) - 2 + 1 + 1),
+                                      j -> array_to_string(toks[j:j+1], ' ')) END AS grams
+              FROM t),
+            e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+            c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY doc_id, gram),
+            r AS (SELECT doc_id, SUM(cnt) AS n_grams, COUNT(*) AS n_distinct,
+                         MAX(cnt) AS max_gram_count
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(r.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(r.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(coalesce(r.max_gram_count, 0) AS BIGINT) AS max_gram_count,
+                   100 * (coalesce(r.n_grams, 0) - coalesce(r.n_distinct, 0))
+                     > 5 * coalesce(r.n_grams, 0) AS repetitive
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         """,
     }

@@ -229,3 +229,133 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "score_micros")
     )
+
+
+#: the Gopher quality-filter stopword set (Rae et al. 2021, appendix A1.1):
+#: a document must contain at least two of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style quality filter (Rae et al. 2021 §A1.1) restricted to
+    the word-level rules, with INTEGER-EXACT semantics so the DuckDB
+    oracle matches bit-for-bit:
+
+    - ``word_count_ok``: min_words <= n_words <= max_words
+    - ``mean_word_len_ok``: mean word length in [3, 10] chars, tested as
+      the cross-multiplication ``3*n_words <= total_word_chars <= 10*n_words``
+      (no float division anywhere)
+    - ``alpha_ok``: >= 80 percent of words contain an alphabetic char,
+      tested as ``5*n_alpha_words >= 4*n_words``
+    - ``stopword_ok``: >= min_stopwords distinct words from
+      :data:`GOPHER_STOPWORDS` (the paper uses 2; corpora with a
+      constrained vocabulary want 1 or the flag goes constant)
+    - ``keep`` = AND of the four.
+
+    The line-based Gopher rules (bullet/ellipsis line fractions) are
+    omitted: they need raw line structure, and this engine's tokenizer
+    surface is the shared ``[^a-z0-9]+`` splitter used by every text
+    operator (tfidf, decontamination) — documented narrowing.
+
+    Everything is one whole-stage-codegen projection over the token
+    array: zero shuffles, zero Python.  Counts are BIGINT, flags BOOLEAN.
+    """
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    return (
+        df.withColumn("_toks", F.expr(toks))
+        .select(
+            id_col,
+            F.expr("CAST(size(_toks) AS BIGINT)").alias("n_words"),
+            F.expr(
+                "CAST(aggregate(_toks, 0, (acc, x) -> acc + length(x)) AS BIGINT)"
+            ).alias("total_word_chars"),
+            F.expr(
+                "CAST(size(filter(_toks, x -> x rlike '[a-z]')) AS BIGINT)"
+            ).alias("n_alpha_words"),
+            F.expr(
+                f"CAST(size(filter(array_distinct(_toks), x -> x IN ({stop_list}))) AS BIGINT)"
+            ).alias("n_stopwords"),
+        )
+        .withColumn(
+            "word_count_ok",
+            F.expr(f"n_words BETWEEN {min_words} AND {max_words}"),
+        )
+        .withColumn(
+            "mean_word_len_ok",
+            F.expr(
+                "n_words > 0 AND 3 * n_words <= total_word_chars "
+                "AND total_word_chars <= 10 * n_words"
+            ),
+        )
+        .withColumn("alpha_ok", F.expr("5 * n_alpha_words >= 4 * n_words"))
+        .withColumn("stopword_ok", F.expr(f"n_stopwords >= {min_stopwords}"))
+        .withColumn(
+            "keep",
+            F.expr("word_count_ok AND mean_word_len_ok AND alpha_ok AND stopword_ok"),
+        )
+    )
+
+
+def doc_repetition(
+    df: DataFrame,
+    n: int = 2,
+    max_dup_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher §A1.1 duplicate
+    n-gram family): per document, the total / distinct word n-gram counts
+    and the multiplicity of the most-repeated n-gram, plus the
+    ``repetitive`` flag (> max_dup_pct percent duplicate n-gram
+    occurrences, tested as the integer cross-multiplication
+    ``100 * (n_grams - n_distinct) > max_dup_pct * n_grams``).
+
+    Engine shape (the 100-TB shape): grams are built row-locally with
+    JVM array expressions (never materializing the cross product), then
+    ONE map-side-combinable shuffle on (doc, gram) counts them; the
+    per-doc rollup re-shuffles only the already-aggregated gram counts.
+    Docs with fewer than n words yield zero-gram rows (left join keeps
+    them, flags false).
+
+    Returns (id_col, n_grams, n_distinct, max_gram_count, repetitive).
+    """
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    # sequence(1, 0) would yield the DESCENDING [1, 0]; gate short docs
+    grams = (
+        f"CASE WHEN size(_toks) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(_toks) - {n} + 1), "
+        f"j -> concat_ws(' ', slice(_toks, j, {n}))) END"
+    )
+    per_gram = (
+        df.withColumn("_toks", F.expr(toks))
+        .select(id_col, F.explode(F.expr(grams)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rolled = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_gram_count"),
+    )
+    return (
+        df.select(id_col)
+        .join(rolled, id_col, "left")
+        .select(
+            id_col,
+            F.expr("coalesce(n_grams, 0L)").alias("n_grams"),
+            F.expr("coalesce(n_distinct, 0L)").alias("n_distinct"),
+            F.expr("coalesce(max_gram_count, 0L)").alias("max_gram_count"),
+        )
+        .withColumn(
+            "repetitive",
+            F.expr(f"100 * (n_grams - n_distinct) > {max_dup_pct} * n_grams"),
+        )
+    )

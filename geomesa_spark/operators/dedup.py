@@ -408,7 +408,10 @@ def _hex4_to_int_expr(hexpr: str, group: int = 0) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def simhash_values_jvm(df: DataFrame, text_col: str, id_col: str, n_bits: int) -> DataFrame:
+def simhash_values_jvm(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, simhash) — the shared hash stage of :func:`simhash_pairs_jvm`,
     exposed for direct testing.  Bit j of a token's weight vector comes
     from hex group j // 16 of md5(token) (4 hex chars = 16 independent
@@ -421,7 +424,8 @@ def simhash_values_jvm(df: DataFrame, text_col: str, id_col: str, n_bits: int) -
     n_groups = (n_bits + 15) // 16
     toks = _TOKS.format(text=text_col)
     d = df.select(
-        F.col(id_col).alias("id"), F.expr(toks).alias("toks")
+        F.col(id_col).alias("id"), F.expr(toks).alias("toks"),
+        *[F.col(c) for c in keep_cols],
     ).filter(F.size("toks") > 0)
     for g in range(n_groups):
         v = _hex4_to_int_expr("md5(t)", group=g)
@@ -443,7 +447,9 @@ def simhash_values_jvm(df: DataFrame, text_col: str, id_col: str, n_bits: int) -
             f"(CASE WHEN ({s}) >= 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
             f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return d.withColumn("simhash", F.expr(" | ".join(bit_terms))).select("id", "simhash")
+    return d.withColumn("simhash", F.expr(" | ".join(bit_terms))).select(
+        "id", "simhash", *keep_cols
+    )
 
 
 def simhash_pairs_jvm(

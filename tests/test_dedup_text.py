@@ -389,3 +389,83 @@ class TestTfidfTopk:
         out = text_fns.tfidf_topk(df, k=3).toPandas().sort_values("rank")
         # all terms tf=1, df=1 -> identical scores; ties break by term asc
         assert out["term"].tolist() == ["alpha", "beta", "delta"]
+
+
+class TestGopherQuality:
+    def test_flags_and_counts(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["good", "short", "nostop", "longwords"],
+                    "text": [
+                        # 33 words incl. stopwords, sane lengths
+                        "the quick brown fox jumps over the lazy dog and "
+                        "runs far away into deep green woods where many "
+                        "small birds sing sweet songs all day long here "
+                        "now and then some more",
+                        "too few words here",
+                        " ".join(["zebra"] * 35),  # no stopwords, 35 words
+                        " ".join(["pneumonoultramicroscopic"] * 40),  # mean len 24
+                    ],
+                }
+            )
+        )
+        out = (
+            text_fns.gopher_quality(df, min_words=30, min_stopwords=1)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        g = out.loc["good"]
+        assert bool(g["keep"]) and g["n_words"] == 33 and g["n_stopwords"] >= 1
+        assert not bool(out.loc["short"]["word_count_ok"])
+        assert not bool(out.loc["nostop"]["stopword_ok"])
+        assert bool(out.loc["nostop"]["word_count_ok"])
+        assert not bool(out.loc["longwords"]["mean_word_len_ok"])
+
+    def test_integer_cross_multiplication_boundaries(self, spark):
+        # mean word length exactly 3.0 and exactly 10.0 must PASS (inclusive)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["m3", "m10", "m2"],
+                    "text": ["abc " * 30, "abcdefghij " * 30, "ab " * 30],
+                }
+            )
+        )
+        out = text_fns.gopher_quality(df, min_words=1, min_stopwords=0).toPandas().set_index("doc_id")
+        assert bool(out.loc["m3"]["mean_word_len_ok"])
+        assert bool(out.loc["m10"]["mean_word_len_ok"])
+        assert not bool(out.loc["m2"]["mean_word_len_ok"])
+
+
+class TestDocRepetition:
+    def test_matches_python_bruteforce(self, spark):
+        import re
+        from collections import Counter
+
+        texts = {
+            "a": "one two one two one three four",
+            "b": "all distinct words in this doc",
+            "c": "dup dup dup dup dup dup dup dup dup dup",
+        }
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        )
+        out = text_fns.doc_repetition(df, n=2, max_dup_pct=20).toPandas().set_index("doc_id")
+        for d, txt in texts.items():
+            toks = [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+            grams = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+            row = out.loc[d]
+            assert row["n_grams"] == sum(grams.values())
+            assert row["n_distinct"] == len(grams)
+            assert row["max_gram_count"] == max(grams.values())
+        assert bool(out.loc["c"]["repetitive"]) and not bool(out.loc["b"]["repetitive"])
+
+    def test_short_docs_zeroed_not_dropped(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["one", "empty"], "text": ["solo", "   "]})
+        )
+        out = text_fns.doc_repetition(df, n=2).toPandas().set_index("doc_id")
+        assert len(out) == 2
+        assert out.loc["one"]["n_grams"] == 0 and not bool(out.loc["one"]["repetitive"])
+        assert out.loc["empty"]["max_gram_count"] == 0

@@ -242,3 +242,127 @@ def test_cms_frequencies_bounds(spark):
     # tight sketch: exact
     est2 = {r[0]: r[1] for r in sketches.cms_frequencies(ev, "event_type").collect()}
     assert est2 == exact
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_stream_dedup_exact_within_watermark(spark, tmp_path):
+    from geomesa_spark.streaming import dedup_stream as ds
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                "same  content\there",   # normalizes equal to b
+                "same content here",
+                "different content",
+                "same content here",     # third copy
+            ],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:00:01",
+                 "2026-01-01 00:00:02", "2026-01-01 00:00:03"]
+            ),
+        }
+    )
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+    stream = spark.readStream.schema("doc_id string, text string, ts timestamp").parquet(p)
+    out = live.run_batches(
+        ds.stream_dedup_exact(stream, delay="10 minutes"), "sdedup", spark
+    ).toPandas()
+    # one survivor per content class: {a,b,d} collapse to one row, c survives
+    assert len(out) == 2
+    ids = set(out["doc_id"])
+    assert "c" in ids and ids & {"a", "b", "d"}
+
+
+def test_stream_near_dup_cross_batch_state(spark, tmp_path):
+    """A doc arriving in a LATER micro-batch must match a doc from an
+    earlier one (state carries across batches), and intra-batch pairs
+    emit too; unrelated docs never match."""
+    from geomesa_spark.streaming import dedup_stream as ds
+
+    d = tmp_path / "nd"
+    d.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "animals watch from the safety of the deep green forest nearby"
+    )
+    # one-token ADDITIONS keep the md5-simhash close (precomputed with the
+    # hashlib twin of simhash_values_jvm: orig-near1 = 1 bit, orig-near2 =
+    # 2, near1-near2 = 3 — all within max_hamming=3; a one-word
+    # SUBSTITUTION on this doc moves 5-8 bits and would not match)
+    batches = {
+        # batch 1: original + intra-batch near-copy
+        "b1": pd.DataFrame(
+            {
+                "doc_id": ["orig", "near1"],
+                "text": [base, base + " today"],
+                "ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:05"]),
+            }
+        ),
+        # batch 2: another near-copy + an unrelated doc (29+ bits away)
+        "b2": pd.DataFrame(
+            {
+                "doc_id": ["near2", "other"],
+                "text": [
+                    base + " now",
+                    "completely unrelated text about spark query engines and "
+                    "columnar formats with nothing shared at all in any way",
+                ],
+                "ts": pd.to_datetime(["2026-01-01 00:01:00", "2026-01-01 00:01:01"]),
+            }
+        ),
+    }
+    for name, pdf in batches.items():
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / name))
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = live.run_batches(
+        ds.stream_near_dup(stream, n_bits=64, n_blocks=8, max_hamming=3),
+        "sneardup", spark,
+    ).toPandas()
+    pairs = set(map(tuple, out[["doc_id", "match_id"]].drop_duplicates().values))
+    assert ("near1", "orig") in pairs                     # intra-batch
+    assert ("near2", "orig") in pairs and ("near2", "near1") in pairs  # cross-batch
+    assert all("other" not in p for p in pairs)
+    # per-pair hamming is consistent across duplicate block emissions
+    g = out.groupby(["doc_id", "match_id"])["hamming"].nunique()
+    assert (g == 1).all()
+
+
+def test_stream_near_dup_ttl_expires_state(spark, tmp_path):
+    """A near-copy arriving past the TTL horizon must NOT match."""
+    from geomesa_spark.streaming import dedup_stream as ds
+
+    d = tmp_path / "ttl_nd"
+    d.mkdir()
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "animals watch from the safety of the deep green forest nearby"
+    )
+    b1 = pd.DataFrame(
+        {"doc_id": ["orig"], "text": [base],
+         "ts": pd.to_datetime(["2026-01-01 00:00:00"])}
+    )
+    b2 = pd.DataFrame(
+        # " today" suffix = hamming 1 from orig (see cross-batch test): it
+        # WOULD match — only the TTL horizon prevents it
+        {"doc_id": ["late_copy"], "text": [base + " today"],
+         "ts": pd.to_datetime(["2026-01-01 02:00:00"])}  # 2h later, TTL 60m
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = live.run_batches(
+        ds.stream_near_dup(stream, ttl_minutes=60), "sneardup_ttl", spark
+    ).toPandas()
+    assert len(out) == 0
