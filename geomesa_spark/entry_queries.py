@@ -608,6 +608,19 @@ def q_simhash_md5_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS resolved into duplicate CLUSTERS: connected
+    components by iterative min-label propagation over the oracle-backed
+    SimHash pair graph, canonical survivor = min doc_id per component.
+    The DuckDB twin computes components with a recursive reachability
+    CTE over the identical pair SQL."""
+    from .operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs_jvm(docs, n_bits=16, n_blocks=4, max_hamming=1)
+    return dedup.dedup_clusters(pairs, docs)
+
+
 def q_media_features(spark, sf_dir):
     """Rows-only: multimodal feature extraction over the span corpus.
     The decode is REAL (pure numpy/stdlib PNG/BMP/PPM codecs — inflate,
@@ -907,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1440,5 +1454,18 @@ def oracle_sql() -> dict[str, str]:
                    100 * (coalesce(r.n_grams, 0) - coalesce(r.n_distinct, 0))
                      > 5 * coalesce(r.n_grams, 0) AS repetitive
             FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_simhash_md5_sql(max_hamming=1)}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, MIN(dst) AS cluster_rep,
+                   MIN(dst) = src AS is_canonical
+            FROM reach GROUP BY src
         """,
     }

@@ -627,3 +627,81 @@ def benchmark_contamination(
         .groupBy(id_col)
         .agg(F.countDistinct("g").alias("n_hits"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, labeling every node with the minimum
+    id of its component, plus the ``is_canonical`` survivor flag — the
+    step a dedup pipeline actually acts on (keep one doc per cluster,
+    drop the rest).
+
+    Spark-first iterative min-label propagation (the standard Spark CC
+    shape, cf. GraphFrames / Kiveris et al. "Connected Components in
+    MapReduce"): each round, every node takes the min of its own label
+    and its neighbors' labels; converges to the component minimum in
+    O(component diameter) rounds.  Near-dup components are short-diameter
+    in practice (cliques + small chains), so a handful of rounds settles
+    even corpus-scale graphs.
+
+    Engine shape per round: one equi-join (edges x labels) + one
+    map-side-combinable groupBy min + one metadata-scale agg action for
+    the convergence test.  ``localCheckpoint`` truncates lineage each
+    round so the plan stays bounded across iterations.  Convergence is
+    detected through sum(label): labels are elementwise non-increasing,
+    so the sum is strictly decreasing until fixpoint — no join-based
+    diff needed.
+
+    Nodes absent from ``pairs`` come out as singleton clusters
+    (cluster_rep = self, canonical).  Returns (node_col, cluster_rep,
+    is_canonical).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("min_nbr"))
+        )
+        labels = (
+            labels.join(nbr.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("min_nbr"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(node_col),
+        F.col("lbl").alias("cluster_rep"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )

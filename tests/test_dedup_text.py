@@ -469,3 +469,68 @@ class TestDocRepetition:
         assert len(out) == 2
         assert out.loc["one"]["n_grams"] == 0 and not bool(out.loc["one"]["repetitive"])
         assert out.loc["empty"]["max_gram_count"] == 0
+
+
+class TestDedupClusters:
+    def _brute(self, n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then min per component
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    def test_chain_clique_singleton(self, spark):
+        from geomesa_spark.operators.dedup import dedup_clusters
+
+        # chain 0-1-2-3-4 (diameter 4 forces multiple propagation rounds),
+        # clique {10,11,12}, pair {20,21}, singletons 30, 31
+        edges = [(1, 0), (1, 2), (3, 2), (3, 4), (10, 11), (11, 12),
+                 (10, 12), (20, 21)]
+        nodes = [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [a for a, _ in edges],
+                          "doc_b": [b for _, b in edges]})
+        )
+        ndf = spark.createDataFrame(pd.DataFrame({"doc_id": nodes}))
+        out = dedup_clusters(pairs, ndf).toPandas().set_index("doc_id")
+        want = self._brute(32, edges)
+        for v in nodes:
+            assert out.loc[v]["cluster_rep"] == want[v], v
+            assert bool(out.loc[v]["is_canonical"]) == (want[v] == v)
+        assert len(out) == len(nodes)
+
+    def test_random_graph_matches_union_find(self, spark):
+        from geomesa_spark.operators.dedup import dedup_clusters
+
+        rng = np.random.default_rng(7)
+        n = 200
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2))
+                 if a != b]
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [a for a, _ in edges],
+                          "doc_b": [b for _, b in edges]})
+        )
+        ndf = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+        out = dedup_clusters(pairs, ndf).toPandas()
+        want = self._brute(n, edges)
+        got = dict(zip(out["doc_id"], out["cluster_rep"]))
+        assert got == want
+        n_canon = out["is_canonical"].sum()
+        assert n_canon == len(set(want.values()))
