@@ -608,6 +608,23 @@ def q_simhash_md5_pairs(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk, budget 512 tokens): every doc
+    assigned to the pack its first token lands in, deterministic
+    (source, doc_id) layout order; all integer math."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly-20-per-(lang, source) uniform sample, deterministic via
+    md5(doc_id) rank — the balanced-mixture primitive."""
+    from .operators.packing import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIRS resolved into duplicate CLUSTERS: connected
     components by iterative min-label propagation over the oracle-backed
@@ -921,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
         "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1467,5 +1486,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, MIN(dst) AS cluster_rep,
                    MIN(dst) = src AS is_canonical
             FROM reach GROUP BY src
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM t)
+            SELECT doc_id, source, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS pack_id,
+                   CAST(start_offset % 512 AS BIGINT) AS offset_in_pack
+            FROM o
+        """,
+        "stratified_sample": """
+            SELECT lang, source, doc_id, rank FROM (
+              SELECT lang, source, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+              FROM documents)
+            WHERE rank <= 20
         """,
     }

@@ -1,0 +1,96 @@
+"""Corpus-assembly operators: the steps between a cleaned document table
+and a training run — packing documents into fixed-token-budget sequences
+and drawing balanced per-stratum samples.
+
+Not part of the GeoMesa reference surface; these are LLM-pipeline
+additions (same mandate as ``operators/dedup``).  Both are exact integer
+pipelines so their DuckDB oracle twins match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget PACK — the sequence-
+    packing step of LLM training prep, in its concat-then-chunk form:
+    documents are laid out in deterministic (group, id) order as one
+    virtual token stream, and a document belongs to the pack its FIRST
+    token lands in (``pack_id = floor(start_offset / budget)``).  Packs
+    may overflow by at most one document's tail; exact greedy first-fit
+    (reset leftover per pack) is inherently sequential state and is NOT
+    what production packers do at corpus scale — they chunk the
+    concatenated stream, exactly this.
+
+    All integer math: token counts are whitespace-token counts (the
+    engine's shared tokenizer surface), offsets come from an integer
+    window cumsum, so the DuckDB twin is bit-exact.
+
+    100-TB shape: one shuffle — the window partitions by ``group_col``
+    (documents of one source stay contiguous, the usual curriculum
+    requirement) and sorts by id within it.  A single giant source would
+    serialize into one partition; shard such groups upstream (e.g.
+    ``group = (source, doc_id div K)``) — the pack ids stay deterministic
+    because the layout order is explicit, not arrival order.
+
+    Returns (id_col, group_col?, n_tokens, start_offset, pack_id,
+    offset_in_pack).
+    """
+    toks = f"size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''))"
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts).orderBy(F.col(id_col).asc())
+        if parts
+        else Window.partitionBy().orderBy(F.col(id_col).asc())
+    )
+    d = df.withColumn("n_tokens", F.expr(f"CAST({toks} AS BIGINT)"))
+    d = d.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+    )
+    return d.select(
+        id_col,
+        *parts,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"CAST(start_offset DIV {budget} AS BIGINT)").alias("pack_id"),
+        F.expr(f"CAST(start_offset % {budget} AS BIGINT)").alias("offset_in_pack"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum uniform sample, deterministic: rank rows
+    within each stratum by the md5 of their id (a fixed random-but-
+    reproducible order both engines compute identically — the same
+    portable-hash idiom as the dedup md5 tiers) and keep rank <= k.
+    The balanced-mixture primitive: equal document counts per (lang,
+    source) regardless of raw skew.
+
+    One shuffle (the per-stratum window); strata counts are the
+    histogram a mixture config acts on.  Ties cannot occur (md5 of
+    distinct ids collides only cryptographically; id breaks the tie
+    anyway).
+
+    Returns (*strata_cols, id_col, rank).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*strata_cols, id_col, "rank")
+    )

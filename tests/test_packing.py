@@ -1,0 +1,103 @@
+"""Corpus-assembly operator tests: sequence packing + stratified sampling
+(operators/packing.py) against hand-computed and brute-force oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.operators.packing import pack_sequences, stratified_sample
+
+
+class TestPackSequences:
+    def test_offsets_and_pack_assignment(self, spark):
+        # one source; token counts 3, 4, 5 with budget 6:
+        # offsets 0, 3, 7 -> packs 0, 0, 1; doc b straddles (overflow ok)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "source": ["s"] * 3,
+                    "text": ["one two three", "a b c d", "v w x y z"],
+                }
+            )
+        )
+        out = (
+            pack_sequences(df, budget=6)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out["n_tokens"].tolist() == [3, 4, 5]
+        assert out["start_offset"].tolist() == [0, 3, 7]
+        assert out["pack_id"].tolist() == [0, 0, 1]
+        assert out["offset_in_pack"].tolist() == [0, 3, 1]
+
+    def test_groups_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 10, 11],
+                    "source": ["a", "a", "b", "b"],
+                    "text": ["x " * 5, "y " * 5, "z " * 5, "w " * 5],
+                }
+            )
+        )
+        out = pack_sequences(df, budget=8).toPandas().set_index("doc_id")
+        # each source restarts at offset 0
+        assert out.loc[1]["start_offset"] == 0 and out.loc[10]["start_offset"] == 0
+        assert out.loc[2]["start_offset"] == 5 and out.loc[11]["start_offset"] == 5
+        assert out.loc[2]["pack_id"] == 0  # 5 < 8
+
+    def test_pack_sizes_bounded_by_budget_plus_max_doc(self, spark):
+        rng = np.random.default_rng(5)
+        n = 300
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "source": ["s"] * n,
+                "text": [" ".join(f"t{j}" for j in range(rng.integers(1, 40))) for _ in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = pack_sequences(df, budget=100).toPandas()
+        # every pack's START tokens fit: sum of tokens of docs starting in a
+        # pack is < budget + the straddling doc's length
+        by_pack = out.groupby("pack_id")["n_tokens"].sum()
+        assert (by_pack < 100 + 40).all()
+        # offsets are a consistent running sum
+        o = out.sort_values("doc_id")
+        assert (o["start_offset"].to_numpy()[1:]
+                == (o["start_offset"] + o["n_tokens"]).to_numpy()[:-1]).all()
+
+
+class TestStratifiedSample:
+    def test_exact_k_per_stratum_and_determinism(self, spark):
+        rng = np.random.default_rng(9)
+        n = 400
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "lang": rng.choice(["en", "de"], n),
+                "source": rng.choice(["web", "book"], n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = stratified_sample(df, k=15).toPandas()
+        sizes = out.groupby(["lang", "source"]).size()
+        assert (sizes == 15).all() and len(sizes) == 4
+        # matches the python oracle: top-15 by md5(str(id)) per stratum
+        for (lang, src), g in pdf.groupby(["lang", "source"]):
+            want = set(
+                sorted(g["doc_id"], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:15]
+            )
+            got = set(out[(out["lang"] == lang) & (out["source"] == src)]["doc_id"])
+            assert got == want, (lang, src)
+
+    def test_small_strata_keep_everything(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "en"], "source": ["w", "w"]})
+        )
+        out = stratified_sample(df, k=10).toPandas()
+        assert len(out) == 2 and set(out["rank"]) == {1, 2}
