@@ -196,7 +196,9 @@ def tfidf_topk(
     combinable shuffle on (doc, term); document frequencies aggregate the
     ALREADY-distinct (doc, term) pairs (no second distinct); the idf
     table is vocabulary-sized and broadcast back.  N comes from a
-    metadata-scale count.
+    metadata-scale count.  (A web-scale vocabulary can exceed the
+    broadcast ceiling — drop the hint there and let the term join
+    sort-merge; the pipeline is otherwise unchanged.)
 
     Returns (id_col, rank, term, score_micros).
     """
@@ -275,7 +277,9 @@ def gopher_quality(
             id_col,
             F.expr("CAST(size(_toks) AS BIGINT)").alias("n_words"),
             F.expr(
-                "CAST(aggregate(_toks, 0, (acc, x) -> acc + length(x)) AS BIGINT)"
+                # accumulator starts as BIGINT: an int32 acc overflows on
+                # multi-GB documents before the outer cast can widen it
+                "aggregate(_toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
             ).alias("total_word_chars"),
             F.expr(
                 "CAST(size(filter(_toks, x -> x rlike '[a-z]')) AS BIGINT)"

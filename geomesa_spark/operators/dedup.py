@@ -676,7 +676,10 @@ def dedup_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # convergence sums run in DECIMAL(38,0): a BIGINT sum of 10^12 64-bit
+    # ids wraps, and a wrapped sum could spuriously equal its predecessor
+    _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lsum).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -695,7 +698,7 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        s = labels.agg(_lsum).collect()[0][0]
         if s == prev_sum:
             break
         prev_sum = s

@@ -138,6 +138,11 @@ def stream_near_dup(
             ids, sigs, tss = [], [], []
         out_doc, out_match, out_ham = [], [], []
         max_ts = max(tss) if tss else 0
+        # rows sort by (event time, id) per Arrow chunk; a group whose
+        # micro-batch spans multiple chunks processes chunks in frame
+        # order, so the PAIR SET is stable but the (doc_id, match_id)
+        # direction of a same-batch pair straddling a chunk boundary
+        # follows chunk order — harmless for dedup semantics
         for pdf in pdfs:
             pdf = pdf.sort_values(["_ts_ms", "id"], kind="mergesort")
             for rid, sig, ts in zip(pdf["id"], pdf["simhash"], pdf["_ts_ms"]):

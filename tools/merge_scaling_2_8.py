@@ -17,9 +17,10 @@ with the cache cleared between them):
     than the same job measured an hour earlier)
   - round-3 evening run (quiet host)
 
-Usage: python tools/merge_scaling_2_8.py <log-or-json> ...
+Usage: python tools/merge_scaling_2_8.py [--pair S L] <log-or-json> ...
 Each arg is either a scaling_bench log (rep lines) or a scaling json.
-Rewrites BENCH/BASELINE_2_8.md + BENCH/scaling_2_8.json.
+Rewrites BENCH/BASELINE_{S}_{L}.md + BENCH/scaling_{S}_{L}.json
+(default pair 2 8).
 """
 
 from __future__ import annotations
@@ -48,12 +49,17 @@ def reps_from(path: str):
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    small, large = 2, 8
+    if argv and argv[0] == "--pair":
+        small, large = int(argv[1]), int(argv[2])
+        argv = argv[3:]
     best: dict[int, dict] = {}
-    n_reps: dict[int, int] = {2: 0, 8: 0}
-    for path in sys.argv[1:]:
+    n_reps: dict[int, int] = {small: 0, large: 0}
+    for path in argv:
         for r in reps_from(path):
             c = r["cores"]
-            if c not in (2, 8) or r.get("n_docs") != N_DOCS:
+            if c not in (small, large) or r.get("n_docs") != N_DOCS:
                 continue  # skip mis-parameterized or other-pair reps
             assert r["join_rows"] == 2_933_032 and r["tile_rows"] == 4_027_904, path
             n_reps[c] += 1
@@ -61,7 +67,7 @@ def main() -> None:
             for m in METRICS:
                 if m in r:
                     b[m] = min(b.get(m, r[m]), r[m])
-    s, l = best[2], best[8]
+    s, l = best[small], best[large]
     for b in (s, l):
         b["join_docs_per_s"] = round(N_DOCS / b["join_s"], 1)
         b["extract_docs_per_s"] = round(N_DOCS / b["extract_s"], 1)
@@ -70,19 +76,20 @@ def main() -> None:
         b["tile_docs_per_s"] = round(N_DOCS / b["tile_s"], 1)
     # efficiency = thr_4N / (4·thr_N) = (W/t_4N) / (4·W/t_N) = t_N / (4·t_4N)
     eff = {m: s[m] / (4 * l[m]) for m in METRICS}
-    md = f"""# BENCH/BASELINE — scaling evidence (north_rule), N=2 → 4N=8
+    exec_cores = small if small <= 8 else 8
+    md = f"""# BENCH/BASELINE — scaling evidence (north_rule), N={small} → 4N={large}
 
 The north_rule requires throughput scaling efficiency ≥ 0.8 between a
 cluster of N and 4N executors.  No real cluster exists in this sandbox
 (BASELINE.md cluster-scaling note), so the evidence is the same job on
 the same input at two fleet sizes with PER-EXECUTOR JVM ISOLATION
-(``local-cluster[E,2,6144]``): N = 2 cores as 1 executor JVM, 4N = 8
-cores as 4 executor JVMs, each with its own 6g heap — heap and GC
+(``local-cluster[E,C,6144]``): N = {small} cores, 4N = {large} cores, as
+1 and 4 executor JVMs, each with its own 6g heap — heap and GC
 capacity scale with the fleet exactly as on a real cluster.  Corpus =
 12,800,000 interleaved-span documents (seed 42); tile input = 600M
 distinct deterministic points.
 
-Best per (job, size) over {n_reps[2]}×N / {n_reps[8]}×4N isolated outer
+Best per (job, size) over {n_reps[small]}×N / {n_reps[large]}×4N isolated outer
 reps spanning three runs across the day (each child additionally best-of
 3 in-session reps, cache cleared between); identical binaries, input,
 and fleet config in every rep.  Host noise on this virtualized box only
@@ -91,7 +98,7 @@ adds time (the same 8-core join measured 14.7 s on a quiet evening and
 Output parity held in EVERY rep: join rows 2,933,032; tile rows
 4,027,904.
 
-| job | N = 2 cores | 4N = 8 cores | efficiency (thr_4N / (4 x thr_N)) |
+| job | N = {small} cores | 4N = {large} cores | efficiency (thr_4N / (4 x thr_N)) |
 |---|---|---|---|
 | flagship spatial join (st_intersects, 12 polygons, incl. span extraction) | {s['join_s']} s = {s['join_docs_per_s']:,.0f} docs/s | {l['join_s']} s = {l['join_docs_per_s']:,.0f} docs/s | **{eff['join_s']:.2f}** |
 | span extraction (scan + explode + WKT regex) | {s['extract_s']} s = {s['extract_docs_per_s']:,.0f} docs/s | {l['extract_s']} s = {l['extract_docs_per_s']:,.0f} docs/s | **{eff['extract_s']:.2f}** |
@@ -103,14 +110,15 @@ Probe-relative tile efficiency: {eff['tile_s']:.2f} / {eff['scan_s']:.2f} =
 to the minimal possible Spark pass (full column decode, zero shuffle,
 one scalar out) over the same table on this host.
 
-Reproduce: ``python tools/scaling_bench.py --small 2 --large 8
---exec-cores 2 --n-docs 12800000`` then ``python
-tools/merge_scaling_2_8.py <logs...>``.  Raw: ``BENCH/scaling_2_8.json``
-(merged best; per-run rep lines in the runs' logs).
+Reproduce: ``python tools/scaling_bench.py --small {small} --large
+{large} --n-docs 12800000`` (``--exec-cores {exec_cores}``) then ``python
+tools/merge_scaling_2_8.py --pair {small} {large} <logs...>``.  Raw:
+``BENCH/scaling_{small}_{large}.json`` (merged best; per-run rep lines
+in the runs' logs).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE_2_8.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"BASELINE_{small}_{large}.md"), "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling_2_8.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{small}_{large}.json"), "w") as f:
         json.dump(
             {
                 "small": s,
