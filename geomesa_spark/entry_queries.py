@@ -777,8 +777,14 @@ def q_descriptive_stats(spark, sf_dir):
             "var_x1e4"
         ),
         F.expr(
+            # zero-variance guard: a constant/singleton group makes the
+            # denominator 0 and 0/0 = NaN — Spark would cast NaN to 0
+            # while DuckDB ERRORS on CAST(NaN AS BIGINT); both engines
+            # use the same explicit CASE so the contract stays exact
+            "CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN "
             "CAST(ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
-            " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT)"
+            " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
         ).alias("skew_micros"),
     )
 
@@ -881,8 +887,11 @@ def _route_sql() -> str:
 _DESC_FINAL = (
     "CAST(ROUND(s1 / n * 1000000) AS BIGINT) AS mean_micros, "
     "CAST(ROUND((s2 / n - (s1 / n) * (s1 / n)) * 10000) AS BIGINT) AS var_x1e4, "
+    # zero-variance guard mirrors the Spark side (NaN casts differ by engine)
+    "CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN "
     "CAST(ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
-    " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT) AS skew_micros"
+    " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) * 1000000) AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END AS skew_micros"
 )
 
 

@@ -655,9 +655,13 @@ def dedup_clusters(
     map-side-combinable groupBy min + one metadata-scale agg action for
     the convergence test.  ``localCheckpoint`` truncates lineage each
     round so the plan stays bounded across iterations.  Convergence is
-    detected through sum(label): labels are elementwise non-increasing,
-    so the sum is strictly decreasing until fixpoint — no join-based
-    diff needed.
+    detected by a per-row "label shrank this round" flag computed inside
+    the update projection and summed on the checkpointed frame — exact,
+    costs no extra join, and works for STRING ids too (a sum-of-labels
+    test would need numeric ids and can overflow/NULL out silently).
+    If ``max_iter`` rounds pass without a fixpoint (component diameter
+    > max_iter) a RuntimeWarning is issued — labels are then correct
+    upper bounds but not yet component minima.
 
     Nodes absent from ``pairs`` come out as singleton clusters
     (cluster_rep = self, canonical).  Returns (node_col, cluster_rep,
@@ -676,10 +680,7 @@ def dedup_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    # convergence sums run in DECIMAL(38,0): a BIGINT sum of 10^12 64-bit
-    # ids wraps, and a wrapped sum could spuriously equal its predecessor
-    _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_lsum).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -695,14 +696,25 @@ def dedup_clusters(
                 F.least(F.col("lbl"), F.coalesce(F.col("min_nbr"), F.col("lbl"))).alias(
                     "lbl"
                 ),
+                (F.col("min_nbr").isNotNull() & (F.col("min_nbr") < F.col("lbl"))).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        s = labels.agg(_lsum).collect()[0][0]
-        if s == prev_sum:
+        if (labels.agg(F.sum(F.col("chg").cast("int"))).collect()[0][0] or 0) == 0:
+            converged = True
             break
-        prev_sum = s
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not reach a fixpoint in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); labels are upper "
+            "bounds, not component minima — raise max_iter",
+            RuntimeWarning,
+        )
     return labels.select(
         F.col("node").alias(node_col),
         F.col("lbl").alias("cluster_rep"),

@@ -93,7 +93,13 @@ def media_features(
             feats = []
             refs = pdf["media_ref"].to_numpy(object)
             payloads = (
-                pdf[bytes_col].to_numpy(object)
+                # NULL payload rows (ref-only docs in a payload-bearing
+                # corpus) fall back to the ref-synthesized bytes instead
+                # of bytes(None) aborting the whole task
+                [
+                    media_codecs.synth_media_bytes(r) if d is None else d
+                    for d, r in zip(pdf[bytes_col].to_numpy(object), refs)
+                ]
                 if bytes_col
                 else [media_codecs.synth_media_bytes(r) for r in refs]
             )
@@ -138,7 +144,11 @@ def resize_media(
         for pdf in batches:
             refs = pdf["media_ref"].to_numpy(object)
             payloads = (
-                pdf[bytes_col].to_numpy(object)
+                # NULL payloads: same ref-synthesis fallback as media_features
+                [
+                    media_codecs.synth_media_bytes(r) if d is None else d
+                    for d, r in zip(pdf[bytes_col].to_numpy(object), refs)
+                ]
                 if bytes_col
                 else [media_codecs.synth_media_bytes(r) for r in refs]
             )

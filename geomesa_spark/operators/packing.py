@@ -46,10 +46,13 @@ def pack_sequences(
     """
     toks = f"size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''))"
     parts = [group_col] if group_col else []
-    w = (
-        Window.partitionBy(*parts).orderBy(F.col(id_col).asc())
-        if parts
-        else Window.partitionBy().orderBy(F.col(id_col).asc())
+    # explicit ROWS frame: Spark's default with orderBy is RANGE, which
+    # gives tied (group, id) rows the sum over ALL their peers — both a
+    # divergence from the oracle's ROWS frame and a silent under-fill on
+    # duplicate ids
+    base = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    w = base.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     d = df.withColumn("n_tokens", F.expr(f"CAST({toks} AS BIGINT)"))
     d = d.withColumn(

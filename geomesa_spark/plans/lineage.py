@@ -90,7 +90,11 @@ def completed_chunks(job_dir: str, epoch: int | None = None) -> set[tuple[int, i
                 if "epoch" not in mdf.columns:
                     continue
                 mdf = mdf[mdf["epoch"] == epoch]
-            shards = mdf["shard"] if "shard" in mdf.columns else [0] * len(mdf)
+            # legacy (pre-sharding) manifests committed WHOLE buckets; the
+            # sentinel shard -1 records that so resume skips every shard of
+            # the bucket instead of re-writing shards 1..k-1 next to the
+            # old whole-bucket file (which would duplicate its rows)
+            shards = mdf["shard"] if "shard" in mdf.columns else [-1] * len(mdf)
             done.update((int(b), int(s)) for b, s in zip(mdf["cell_bucket"], shards))
     return done
 
@@ -175,9 +179,14 @@ def run_partitioned_job(
         "__shard", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(k)).cast("long")
     )
     done = completed_chunks(job_dir, epoch=epoch)
-    if done:
+    # shard == -1 marks a legacy WHOLE-bucket commit: skip the entire bucket
+    whole_buckets = sorted({b for b, s in done if s == -1})
+    exact_chunks = {(b, s) for b, s in done if s != -1}
+    if whole_buckets:
+        todo_df = todo_df.filter(~F.col("cell_bucket").isin(whole_buckets))
+    if exact_chunks:
         done_df = spark.createDataFrame(
-            pd.DataFrame(sorted(done), columns=["cell_bucket", "__shard"])
+            pd.DataFrame(sorted(exact_chunks), columns=["cell_bucket", "__shard"])
         )
         todo_df = todo_df.join(
             F.broadcast(done_df), on=["cell_bucket", "__shard"], how="left_anti"

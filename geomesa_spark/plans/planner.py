@@ -209,6 +209,12 @@ def scan_partitioned(
     """
     g = wkt.parse_wkt(geom_wkt)
     parts = wkt.antimeridian_split(g) if g is not None and g.kind == wkt.WKB_POLYGON else [g]
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        # unparseable or degenerate geometry covers nothing: empty scan
+        # (the old pre-range-pushdown code returned empty here too; the
+        # range disjunction below must not index into an empty list)
+        return spark.read.parquet(path).filter(F.lit(False))
     fine_ranges: list[tuple[int, int]] = []
     bucket_cover = []
     for p in parts:
@@ -234,10 +240,11 @@ def scan_partitioned(
     buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
     ranges = _merge_fine_ranges(fine_ranges, max_ranges)
     df = spark.read.parquet(path).filter(F.col("cell_bucket").isin(buckets))
-    cond = F.col("cell").between(*ranges[0])
-    for lo, hi in ranges[1:]:
-        cond = cond | F.col("cell").between(lo, hi)
-    df = df.filter(cond)
+    if ranges:
+        cond = F.col("cell").between(*ranges[0])
+        for lo, hi in ranges[1:]:
+            cond = cond | F.col("cell").between(lo, hi)
+        df = df.filter(cond)
     if time_range is not None and "time_bin" in df.columns:
         width = 86400 * time_bin_days
         b0 = int(pd.Timestamp(time_range[0]).timestamp()) // width

@@ -57,19 +57,13 @@ def _shp_files(path: str) -> list[str]:
 
 
 def _dbf_fields(dbf_path: str) -> list[tuple[str, str, int, int]]:
-    import struct
+    """Field descriptors of a .dbf — delegates to the shared parser in
+    :mod:`geomesa_spark.sources.shapefile` (one .dbf walk in the codebase;
+    an earlier copy here truncated headers past 8 KB)."""
+    from . import shapefile as shp
 
     with open(dbf_path, "rb") as f:
-        d = f.read(32 * 256)
-    fields = []
-    fpos = 32
-    while fpos < len(d) and d[fpos] != 0x0D:
-        name = d[fpos : fpos + 11].split(b"\x00")[0].decode("ascii")
-        ftype = chr(d[fpos + 11])
-        ln, dec = d[fpos + 16], d[fpos + 17]
-        fields.append((name, ftype, ln, dec))
-        fpos += 32
-    return fields
+        return shp.dbf_field_descriptors(f.read())
 
 
 class _ShpPartition(InputPartition):
@@ -78,10 +72,17 @@ class _ShpPartition(InputPartition):
 
 
 class ShapefileReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.path = options.get("path") or options.get("paths")
         if not self.path:
             raise ValueError("geomesa_shapefile requires .load(path)")
+        # the ANNOUNCED schema's attribute order (derived from the first
+        # file's .dbf) — every partition must emit in THIS order, not its
+        # own file's .dbf order, or a directory of shapefiles with
+        # reordered/differing columns silently misassigns values
+        self.attr_names = (
+            [f.name for f in schema.fields[1:]] if schema is not None else None
+        )
 
     def partitions(self):
         return [_ShpPartition(p) for p in _shp_files(self.path)]
@@ -98,9 +99,11 @@ class ShapefileReader(DataSourceReader):
         if os.path.exists(base + ".dbf"):
             with open(base + ".dbf", "rb") as f:
                 attrs = shp.parse_dbf_bytes(f.read())
-        names = list(attrs)
+        names = self.attr_names if self.attr_names is not None else list(attrs)
         for i, w in enumerate(wkts):
-            yield (w, *[attrs[n][i] for n in names])
+            # align by NAME to the announced schema; columns this file
+            # lacks yield NULL rather than positionally-shifted values
+            yield (w, *[attrs[n][i] if n in attrs else None for n in names])
 
 
 class ShapefileDataSource(DataSource):
@@ -126,7 +129,7 @@ class ShapefileDataSource(DataSource):
         return ", ".join(cols)
 
     def reader(self, schema) -> ShapefileReader:
-        return ShapefileReader(self.options)
+        return ShapefileReader(self.options, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +146,12 @@ def _parse_ts(v) -> datetime | None:
         return None
     if isinstance(v, (int, float)):
         return datetime.fromtimestamp(float(v), tz=timezone.utc).replace(tzinfo=None)
-    return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(tzinfo=None)
+    dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if dt.tzinfo is not None:
+        # CONVERT to UTC before dropping tzinfo — a bare replace() would
+        # shift offset-bearing strings by their offset vs the epoch path
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _parse_log_rows(files: list[str]) -> list[tuple]:

@@ -169,9 +169,10 @@ def parse_shp_bytes(data: bytes) -> list[str | None]:
     return wkts
 
 
-def parse_dbf_bytes(d: bytes) -> dict[str, list]:
-    """.dbf bytes → {column: values} (N → int/float, C → str)."""
-    nrec, hdr_len, rec_len = struct.unpack_from("<IHH", d, 4)
+def dbf_field_descriptors(d: bytes) -> list[tuple[str, str, int, int]]:
+    """Field descriptor walk of a .dbf header: (name, type, len, dec) per
+    column.  Shared by the record parser below and the Data Source API
+    schema derivation (one .dbf parser in the codebase)."""
     fields = []
     fpos = 32
     while d[fpos] != 0x0D:
@@ -181,6 +182,13 @@ def parse_dbf_bytes(d: bytes) -> dict[str, list]:
         dec = d[fpos + 17]
         fields.append((name, ftype, ln, dec))
         fpos += 32
+    return fields
+
+
+def parse_dbf_bytes(d: bytes) -> dict[str, list]:
+    """.dbf bytes → {column: values} (N → int/float, C → str)."""
+    nrec, hdr_len, rec_len = struct.unpack_from("<IHH", d, 4)
+    fields = dbf_field_descriptors(d)
     rpos = hdr_len
     cols: dict[str, list] = {n: [] for n, _, _, _ in fields}
     for _ in range(nrec):
