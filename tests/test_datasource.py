@@ -140,3 +140,52 @@ class TestChangelogSource:
         second = run_once()
         # file 0 NOT reprocessed: exactly one new row appended
         assert sorted(second["feature_id"]) == ["a", "b"]
+
+
+class TestShapefileSchemaAlignment:
+    def test_reordered_dbf_columns_align_by_name(self, spark, tmp_path):
+        """A directory whose second file carries the same columns in a
+        DIFFERENT .dbf order must still load values under the right
+        names (alignment is by name to the first file's schema)."""
+        a = pd.DataFrame(
+            {"wkt": ["POINT (1 2)"], "name": ["x"], "pop": [7]}
+        )
+        b = pd.DataFrame(
+            {"wkt": ["POINT (3 4)"], "pop": [9], "name": ["y"]}  # swapped
+        )
+        shapefile.write_shapefile(spark.createDataFrame(a), str(tmp_path / "a"))
+        shapefile.write_shapefile(spark.createDataFrame(b), str(tmp_path / "b"))
+        datasource.register(spark)
+        out = (
+            spark.read.format("geomesa_shapefile")
+            .load(str(tmp_path))
+            .toPandas()
+            .set_index("wkt")
+        )
+        assert out.loc["POINT (1 2)"]["name"] == "x" and out.loc["POINT (1 2)"]["pop"] == 7
+        assert out.loc["POINT (3 4)"]["name"] == "y" and out.loc["POINT (3 4)"]["pop"] == 9
+
+    def test_missing_column_nulls_not_shifted(self, spark, tmp_path):
+        a = pd.DataFrame({"wkt": ["POINT (1 2)"], "name": ["x"], "pop": [7]})
+        b = pd.DataFrame({"wkt": ["POINT (3 4)"], "name": ["y"]})  # no pop
+        shapefile.write_shapefile(spark.createDataFrame(a), str(tmp_path / "a"))
+        shapefile.write_shapefile(spark.createDataFrame(b), str(tmp_path / "b"))
+        datasource.register(spark)
+        out = (
+            spark.read.format("geomesa_shapefile")
+            .load(str(tmp_path))
+            .toPandas()
+            .set_index("wkt")
+        )
+        assert out.loc["POINT (3 4)"]["name"] == "y"
+        assert pd.isna(out.loc["POINT (3 4)"]["pop"])
+
+
+def test_parse_ts_offset_converts_to_utc():
+    from datetime import datetime
+
+    p = datasource._parse_ts
+    assert p("2024-01-01T00:00:00+05:00") == datetime(2023, 12, 31, 19, 0, 0)
+    assert p("2024-01-01T00:00:00Z") == datetime(2024, 1, 1, 0, 0, 0)
+    assert p("2024-01-01T00:00:00") == datetime(2024, 1, 1, 0, 0, 0)  # naive
+    assert p(1704067200) == datetime(2024, 1, 1, 0, 0, 0)  # epoch path agrees

@@ -534,3 +534,39 @@ class TestDedupClusters:
         assert got == want
         n_canon = out["is_canonical"].sum()
         assert n_canon == len(set(want.values()))
+
+
+def test_dedup_clusters_string_ids(spark):
+    """String node ids: the old sum-of-labels convergence test summed
+    NULLs and stopped after one round; chains must still fully resolve."""
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    # chain a-b-c-d (diameter 3: needs >1 round), plus singleton z
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": ["doc-b", "doc-c", "doc-d"],
+                      "doc_b": ["doc-a", "doc-b", "doc-c"]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["doc-a", "doc-b", "doc-c", "doc-d", "doc-z"]})
+    )
+    out = dedup_clusters(pairs, nodes).toPandas().set_index("doc_id")
+    for v in ["doc-a", "doc-b", "doc-c", "doc-d"]:
+        assert out.loc[v]["cluster_rep"] == "doc-a", v
+    assert out.loc["doc-z"]["cluster_rep"] == "doc-z"
+    assert out["is_canonical"].sum() == 2
+
+
+def test_dedup_clusters_warns_when_unconverged(spark):
+    import warnings as w
+
+    from geomesa_spark.operators.dedup import dedup_clusters
+
+    # path graph 0-1-2-3-4 with max_iter=2: cannot reach the fixpoint
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 4], "doc_b": [0, 1, 2, 3]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(5))}))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        dedup_clusters(pairs, nodes, max_iter=2).collect()
+    assert any("fixpoint" in str(c.message) for c in caught)

@@ -101,3 +101,20 @@ class TestStratifiedSample:
         )
         out = stratified_sample(df, k=10).toPandas()
         assert len(out) == 2 and set(out["rank"]) == {1, 2}
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    """Duplicate (group, id) rows must get DISTINCT running offsets (ROWS
+    frame); Spark's RANGE default would hand both the tied-peers sum."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1, 2],
+                "source": ["s", "s", "s"],
+                "text": ["a b c", "d e f", "g h"],
+            }
+        )
+    )
+    out = pack_sequences(df, budget=4).toPandas().sort_values("start_offset")
+    assert out["start_offset"].tolist() == [0, 3, 6]
+    assert out["pack_id"].tolist() == [0, 0, 1]

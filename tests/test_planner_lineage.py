@@ -265,3 +265,36 @@ class TestLineageResume:
             a = open(os.path.join(clean_job, "data", f), "rb").read()
             b = open(os.path.join(crashed_job, "data", f), "rb").read()
             assert a == b, f
+
+
+def test_scan_partitioned_degenerate_geometry_empty_not_crash(spark, layout):
+    """Unparseable/degenerate geometry → empty scan (the range-pushdown
+    disjunction must not index an empty range list)."""
+    out = planner.scan_partitioned(spark, layout, "POLYGON((oops", res=10)
+    assert out.count() == 0
+
+
+def test_lineage_legacy_shardless_manifests_skip_whole_bucket(spark, sf_dir, tmp_path):
+    """Manifests written before chunk sharding carry no `shard` column and
+    committed WHOLE buckets; resume must skip every shard of those buckets
+    instead of writing shards 1..k-1 next to the old whole-bucket file
+    (duplicating its rows)."""
+    import glob as g
+    import pandas as pd
+
+    job = str(tmp_path / "legacy")
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    pts = sj.extract_geo_points(docs).select("doc_id", "lon", "lat")
+    enc = sj.cell_encode_udf(10)
+    d = pts.withColumn("cell", enc(F.col("lon"), F.col("lat")))
+    d = d.withColumn("cell_bucket", F.shiftrightunsigned(F.col("cell"), 12))
+    r1 = lineage.run_partitioned_job(d, job)
+    n1 = lineage.read_job_output(spark, job).count()
+    # doctor every manifest into the legacy shard-less shape
+    for mp in g.glob(str(tmp_path / "legacy" / "manifests" / "*.parquet")):
+        mdf = pd.read_parquet(mp)
+        mdf.drop(columns=["shard"]).to_parquet(mp, index=False)
+    r2 = lineage.run_partitioned_job(d, job)
+    assert r2["written_buckets"] == 0, "legacy whole-bucket commits must skip"
+    assert lineage.read_job_output(spark, job).count() == n1  # no duplicated rows
+    assert r1["written_buckets"] > 0
