@@ -65,10 +65,17 @@ def main() -> None:
     # workers — without this, whichever query runs first pays a ~1-2 s
     # one-time cost that swamps its own steady-state number (measured:
     # cold-in-session grid_join 6.6 s vs 2.9 s steady on an idle host)
-    _pts_w = sj.extract_geo_points(docs.sample(0.02, seed=2)).select("doc_id", "lon", "lat")
-    _ev_w = spark.read.parquet(corpus.ensure_events_geo(sf_dir)).select(
-        "event_id", "lon", "lat"
-    ).limit(2000)
+    # warm inputs are SAMPLES of the full tables, never limit(): sample
+    # preserves the input split set, so every one of the N Python workers
+    # cold-imports before the clock; limit() warms exactly one task's
+    # worker and the measured run then pays N-1 simultaneous cold starts
+    _pts_w = sj.extract_geo_points(docs.sample(0.05, seed=2)).select("doc_id", "lon", "lat")
+    _ev_w = (
+        spark.read.parquet(corpus.ensure_events_geo(sf_dir))
+        .select("event_id", "lon", "lat")
+        .sample(0.05, seed=2)
+        .repartition(cpus)
+    )
     sj.spatial_join_grid(_pts_w, _ev_w, res=8, dist_m=50_000.0, unique_ids=True).count()
     sj.dwithin_join_broadcast(
         _pts_w, [dict(center_id="W", lon=0.0, lat=0.0)], 100_000.0, unique_ids=True
@@ -77,8 +84,8 @@ def main() -> None:
 
     _xz.xz2_join_points(
         spark.createDataFrame(
-            [("WB", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")], "gid string, wkt string"
-        ),
+            [("WB", "POLYGON((0 0, 30 0, 30 30, 0 30, 0 0))")], "gid string, wkt string"
+        ).repartition(4),
         _ev_w,
     ).count()
 
