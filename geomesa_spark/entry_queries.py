@@ -625,6 +625,16 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_track_hausdorff(spark, sf_dir):
+    """Directed discrete Hausdorff between the tracks of users 0-5
+    (squared-planar-degree metric: arithmetic-only, so both engines
+    compute bit-identical doubles before the final quantization)."""
+    from .operators import tube
+
+    pts = _event_points(spark, sf_dir).filter(F.col("user_id") < 6)
+    return tube.track_hausdorff(pts)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIRS resolved into duplicate CLUSTERS: connected
     components by iterative min-label propagation over the oracle-backed
@@ -949,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "track_hausdorff": q_track_hausdorff,
     }
 
 
@@ -1521,5 +1532,20 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
               FROM documents)
             WHERE rank <= 20
+        """,
+        "track_hausdorff": f"""
+            WITH pts AS (
+              SELECT user_id, event_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+              FROM events WHERE user_id < 6),
+            d AS (
+              SELECT a.user_id AS ua, b.user_id AS ub, a.event_id AS pa,
+                     MIN((a.lon - b.lon) * (a.lon - b.lon)
+                         + (a.lat - b.lat) * (a.lat - b.lat)) AS dmin
+              FROM pts a JOIN pts b ON a.user_id != b.user_id
+              GROUP BY a.user_id, b.user_id, a.event_id)
+            SELECT ua, ub,
+                   CAST(ROUND(MAX(dmin) * 1000000000) AS BIGINT)
+                     AS hausdorff_deg2_x1e9
+            FROM d GROUP BY ua, ub
         """,
     }

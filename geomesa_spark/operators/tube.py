@@ -179,3 +179,57 @@ def route_join(
     return (
         cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
     )
+
+
+def track_hausdorff(
+    pts: DataFrame,
+    id_col: str = "user_id",
+    point_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Directed discrete Hausdorff distance between every ORDERED pair of
+    tracks: ``h(A→B) = max over a in A of (min over b in B of d(a, b))``
+    — the standard trajectory-similarity primitive (GeoMesa surfaces
+    trajectory analytics through its Spark API; this is the
+    engine-native restatement).
+
+    Metric: squared planar degree distance, ARITHMETIC ONLY — IEEE
+    mul/add is bit-identical across engines, so the DuckDB oracle twin
+    matches exactly (trig-based haversine differs by ulps between
+    engines; swap it in when meters matter more than oracle parity).
+
+    Engine shape: inequality join (every a-point against every b-track's
+    points) → per-(pair, a-point) MIN → per-pair MAX; two
+    map-side-combinable aggregations.  The pairwise point product is
+    inherent to the exact metric — at corpus scale, prune candidate
+    b-points with the same coarse-cell cover trick kNN uses (only cells
+    within the current max-min radius can change the answer) before the
+    exact pass; this exact operator is the final-verify kernel of that
+    plan.
+
+    Returns (ua, ub, hausdorff_deg2_x1e9 BIGINT).
+    """
+    a = pts.select(
+        F.col(id_col).alias("ua"),
+        F.col(point_col).alias("pa"),
+        F.col(lon_col).alias("xa"),
+        F.col(lat_col).alias("ya"),
+    )
+    b = pts.select(
+        F.col(id_col).alias("ub"),
+        F.col(lon_col).alias("xb"),
+        F.col(lat_col).alias("yb"),
+    )
+    d2 = "(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"
+    return (
+        a.join(b, F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub", "pa")
+        .agg(F.min(F.expr(d2)).alias("dmin"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.expr("CAST(ROUND(MAX(dmin) * 1000000000) AS BIGINT)").alias(
+                "hausdorff_deg2_x1e9"
+            )
+        )
+    )

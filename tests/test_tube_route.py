@@ -106,3 +106,44 @@ def test_route_join_nearest(spark, events_df):
             for c in segs.values()
         )
         assert (eid in got) == (dmin <= 100_000.0), eid
+
+
+class TestTrackHausdorff:
+    def test_matches_bruteforce_and_is_directed(self, spark):
+        import itertools
+
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import track_hausdorff
+
+        # track A = tight cluster; track B = A plus one far outlier:
+        # h(A->B) is small (every a has a near b) but h(B->A) is large
+        # (the outlier's nearest a is far) — asserts directedness
+        tracks = {
+            1: [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1)],
+            2: [(0.0, 0.0), (0.1, 0.1), (5.0, 5.0)],
+            3: [(2.0, 2.0), (2.1, 2.0)],
+        }
+        rows = [
+            (u, i, x, y)
+            for u, ps in tracks.items()
+            for i, (x, y) in enumerate(ps)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_id", "lon", "lat"])
+        )
+        out = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff(df).collect()
+        }
+
+        def h(a, b):
+            return max(
+                min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in b)
+                for ax, ay in a
+            )
+
+        for ua, ub in itertools.permutations(tracks, 2):
+            want = round(h(tracks[ua], tracks[ub]) * 1e9)
+            assert out[(ua, ub)] == want, (ua, ub)
+        assert out[(1, 2)] < out[(2, 1)]  # directedness
