@@ -625,6 +625,16 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_hotspot_clusters(spark, sf_dir):
+    """DBSCAN-style hotspot clustering over the event grid (res 6,
+    min_pts 5): dense cells merged through 8-neighbor adjacency via
+    min-label propagation; the DuckDB twin resolves the same components
+    with a recursive reachability CTE."""
+    from .operators import tiling
+
+    return tiling.hotspot_clusters(_event_points(spark, sf_dir), res=6, min_pts=5)
+
+
 def q_track_hausdorff(spark, sf_dir):
     """Directed discrete Hausdorff between the tracks of users 0-5
     (squared-planar-degree metric: arithmetic-only, so both engines
@@ -960,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "track_hausdorff": q_track_hausdorff,
+        "hotspot_clusters": q_hotspot_clusters,
     }
 
 
@@ -1547,5 +1558,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MAX(dmin) * 1000000000) AS BIGINT)
                      AS hausdorff_deg2_x1e9
             FROM d GROUP BY ua, ub
+        """,
+        "hotspot_clusters": f"""
+            WITH RECURSIVE pts AS (
+              SELECT {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM events),
+            k AS (
+              SELECT ((least(greatest(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) << 6)
+                      | least(greatest(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63))
+                     AS cell_key
+              FROM pts),
+            core AS (SELECT cell_key, COUNT(*) AS n FROM k
+                     GROUP BY cell_key HAVING COUNT(*) >= 5),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            e AS (
+              SELECT c.cell_key AS a,
+                     ((((c.cell_key >> 6) + o.dx) << 6)
+                      | ((c.cell_key & 63) + o.dy)) AS b
+              FROM core c, offs o
+              WHERE (c.cell_key >> 6) + o.dx BETWEEN 0 AND 63
+                AND (c.cell_key & 63) + o.dy BETWEEN 0 AND 63),
+            edges AS (SELECT e.a, e.b FROM e JOIN core c2 ON c2.cell_key = e.b),
+            reach(src, dst) AS (
+              SELECT cell_key, cell_key FROM core
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN edges ed ON ed.a = r.dst),
+            lab AS (SELECT src AS cell_key, MIN(dst) AS cluster_rep
+                    FROM reach GROUP BY src)
+            SELECT c.cell_key, c.n, l.cluster_rep,
+                   l.cluster_rep = c.cell_key AS is_canonical
+            FROM core c JOIN lab l USING (cell_key)
         """,
     }

@@ -273,3 +273,73 @@ def query_tiles_bbox(tiles: DataFrame, zoom: int, lon0, lat0, lon1, lat1) -> Dat
             fine.append(np.arange(base, base + (1 << (2 * span)), dtype=np.int64))
         cover = np.concatenate(fine)
     return tiles.filter(F.col("tile_cell").isin([int(c) for c in cover]))
+
+
+def hotspot_clusters(
+    pts: DataFrame,
+    res: int = 6,
+    min_pts: int = 5,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Grid-density hotspot clustering — the DBSCAN-style density scan
+    over the tile grid (GeoMesa's DensityScan surfaces the per-cell
+    counts; this takes the next step and CLUSTERS the dense region):
+    cells holding >= ``min_pts`` points are CORE; core cells connected
+    through 8-neighbor adjacency merge into clusters labeled by their
+    minimum packed cell key.
+
+    Engine shape: one groupBy((x, y) packed key) count → filter — the
+    same single map-side-combinable shuffle as the tile pyramid; the
+    adjacency edge list comes from exploding each core cell's 8 packed
+    neighbor keys (pure JVM array expr) and equi-joining against the
+    core set; components resolve via :func:`dedup.dedup_clusters`
+    (min-label propagation, O(cluster diameter) rounds).  Everything
+    downstream of the first count operates on CORE CELLS ONLY —
+    corpus-scale points reduce to at most 4^res cells before any join.
+
+    Returns (cell_key, n, cluster_rep, is_canonical) — one row per core
+    cell; points map to clusters by re-encoding their key.
+    """
+    from .dedup import dedup_clusters
+
+    key = F.shiftleft(_tile_xy_expr(lon, res, 360.0, 180.0), res).bitwiseOR(
+        _tile_xy_expr(lat, res, 180.0, 90.0)
+    )
+    core = (
+        pts.select(key.alias("cell_key"))
+        .groupBy("cell_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_pts))
+    )
+    n_side = 1 << res
+    # 8 neighbors of (x, y), dropped at the grid border (no wrap: the
+    # clamped tile grid does not wrap either)
+    nbrs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nbrs.append(
+                f"IF(_x + {dx} BETWEEN 0 AND {n_side - 1} "
+                f"AND _y + {dy} BETWEEN 0 AND {n_side - 1}, "
+                f"shiftleft(_x + {dx}, {res}) | (_y + {dy}), NULL)"
+            )
+    edges = (
+        core.withColumn("_x", F.expr(f"shiftrightunsigned(cell_key, {res})"))
+        .withColumn("_y", F.expr(f"cell_key & {n_side - 1}"))
+        .select(
+            "cell_key",
+            F.explode(
+                F.expr("filter(array(" + ", ".join(nbrs) + "), x -> x IS NOT NULL)")
+            ).alias("nbr_key"),
+        )
+        .join(
+            core.select(F.col("cell_key").alias("nbr_key")), "nbr_key", "inner"
+        )  # keep only edges whose neighbor is ALSO core
+        .select(F.col("cell_key").alias("doc_a"), F.col("nbr_key").alias("doc_b"))
+    )
+    labels = dedup_clusters(edges, core.select(F.col("cell_key").alias("doc_id")))
+    return core.join(
+        labels.withColumnRenamed("doc_id", "cell_key"), "cell_key", "inner"
+    ).select("cell_key", "n", "cluster_rep", "is_canonical")

@@ -122,3 +122,47 @@ def test_knn_near_pole_longitude_trap(spark):
     assert d_across < d_in  # the trap is real
     out = knn_op.knn(pts, [dict(query_id="Q", lon=0.0, lat=88.9, k=1)], res=7)
     assert list(out["event_id"]) == ["across_lon"]
+
+
+class TestHotspotClusters:
+    def test_planted_hotspots_merge_and_separate(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tiling import hotspot_clusters
+
+        # res=4 -> 16x16 grid, cell width 22.5 deg.  Two ADJACENT dense
+        # cells (one cluster), one far dense cell (own cluster), one
+        # sparse cell (not core).
+        def burst(lon, lat, n):
+            return [(lon + 0.001 * i, lat) for i in range(n)]
+
+        rows = (
+            burst(10.0, 10.0, 8)      # cell A
+            + burst(33.0, 10.0, 8)    # cell B, adjacent to A (x+1)
+            + burst(-150.0, -60.0, 8) # cell C, far away
+            + burst(100.0, 40.0, 2)   # sparse, below min_pts
+        )
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["lon", "lat"]))
+        out = hotspot_clusters(df, res=4, min_pts=5).toPandas()
+        assert len(out) == 3  # sparse cell excluded
+        reps = out.groupby("cluster_rep")["cell_key"].apply(set)
+        assert len(reps) == 2  # A+B merged, C separate
+        sizes = sorted(len(v) for v in reps)
+        assert sizes == [1, 2]
+        assert out["is_canonical"].sum() == 2
+        assert (out["n"] == 8).all()
+
+    def test_diagonal_adjacency_counts(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tiling import hotspot_clusters
+
+        # two dense cells touching only DIAGONALLY still merge (8-conn):
+        # res=4 cells are 22.5 x 11.25 deg, so (10, 10) is cell (8, 8)
+        # and (33, 22) is cell (9, 9)
+        rows = [(10.0 + 0.001 * i, 10.0) for i in range(6)] + [
+            (33.0 + 0.001 * i, 22.0) for i in range(6)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["lon", "lat"]))
+        out = hotspot_clusters(df, res=4, min_pts=5).toPandas()
+        assert len(out) == 2 and out["cluster_rep"].nunique() == 1
