@@ -625,6 +625,28 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit/switch events over user tracks against the
+    fixture rectangles (first-match priority), one window shuffle."""
+    from .operators import tube
+
+    fences = [
+        dict(fence_id=p, lon0=a, lat0=b, lon1=c, lat1=d) for p, a, b, c, d in RECTS
+    ]
+    return tube.geofence_transitions(_event_points(spark, sf_dir), fences)
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows: per (user, hour-session) first/last
+    point's res-5 grid cell, rolled up to trip counts."""
+    from .operators import tube
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "session_id", F.date_trunc("hour", F.col("ts"))
+    )
+    return tube.od_matrix(pts, res=5)
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -971,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "track_hausdorff": q_track_hausdorff,
         "hotspot_clusters": q_hotspot_clusters,
+        "geofence_transitions": q_geofence_transitions,
+        "od_matrix": q_od_matrix,
     }
 
 
@@ -1588,5 +1612,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cell_key, c.n, l.cluster_rep,
                    l.cluster_rep = c.cell_key AS is_canonical
             FROM core c JOIN lab l USING (cell_key)
+        """,
+        "geofence_transitions": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+              FROM events),
+            f AS (
+              SELECT event_id, user_id, ts,
+                CASE
+                  WHEN lon >= 10.0 AND lon <= 20.0 AND lat >= 10.0 AND lat <= 20.0 THEN 'P1'
+                  WHEN lon >= -60.0 AND lon <= -40.0 AND lat >= -30.0 AND lat <= -10.0 THEN 'P2'
+                  WHEN lon >= 100.0 AND lon <= 120.0 AND lat >= 40.0 AND lat <= 60.0 THEN 'P3'
+                  WHEN lon >= -10.0 AND lon <= 30.0 AND lat >= -75.0 AND lat <= -50.0 THEN 'P4'
+                  WHEN lon >= -150.0 AND lon <= -110.0 AND lat >= 10.0 AND lat <= 50.0 THEN 'P10'
+                  WHEN lon >= 20.0 AND lon <= 30.0 AND lat >= -45.0 AND lat <= -35.0 THEN 'P12'
+                  ELSE NULL END AS fence_id
+              FROM pts),
+            l AS (
+              SELECT user_id, ts, fence_id,
+                     LAG(fence_id) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_fence_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM f)
+            SELECT user_id, ts, fence_id, prev_fence_id,
+                   CASE WHEN prev_fence_id IS NULL THEN 'enter'
+                        WHEN fence_id IS NULL THEN 'exit'
+                        ELSE 'switch' END AS transition
+            FROM l WHERE rn > 1 AND fence_id IS DISTINCT FROM prev_fence_id
+        """,
+        "od_matrix": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+              FROM events),
+            k AS (
+              SELECT user_id, date_trunc('hour', ts) AS session_id, event_id, ts,
+                ((least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 0), 31) << 5)
+                 | least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 0), 31)) AS key
+              FROM pts),
+            s AS (
+              SELECT user_id, session_id,
+                     FIRST_VALUE(key) OVER w AS origin_key,
+                     LAST_VALUE(key) OVER w AS dest_key
+              FROM k
+              WINDOW w AS (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)),
+            d AS (SELECT DISTINCT user_id, session_id, origin_key, dest_key FROM s)
+            SELECT origin_key, dest_key, COUNT(*) AS n_trips
+            FROM d GROUP BY origin_key, dest_key
         """,
     }

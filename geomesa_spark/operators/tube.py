@@ -233,3 +233,110 @@ def track_hausdorff(
             )
         )
     )
+
+
+def geofence_transitions(
+    pts: DataFrame,
+    fences: list[dict],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    point_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Enter/exit event detection: for each track (ordered by event time,
+    ties broken by ``point_col`` for determinism)
+    emit a row whenever the point's fence membership CHANGES — the
+    geofencing primitive (GeoMesa surfaces it through CQL filters over
+    the Kafka live layer; this is the batch/replay form).
+
+    ``fences`` are axis-aligned boxes [{fence_id, lon0, lat0, lon1,
+    lat1}] so membership is pure comparisons (oracle-exact); arbitrary
+    polygons drop in by swapping the membership expression for the PIP
+    kernel.  A point inside several fences takes the FIRST matching
+    fence id (list order = priority), NULL when outside all.
+
+    Engine shape: one window shuffle on (track, time) — membership and
+    the lag comparison are whole-stage-codegen; no joins, fences ride
+    the expression as literals.
+
+    Returns (id_col, ts_col, fence_id, prev_fence_id, transition) with
+    transition in ('enter', 'exit', 'switch') — rows where membership
+    changed, the first point of each track excluded (no prior state).
+    """
+    from pyspark.sql import Window
+
+    fid = F.lit(None).cast("string")
+    for f in reversed(fences):
+        inside = (
+            (F.col(lon_col) >= float(f["lon0"]))
+            & (F.col(lon_col) <= float(f["lon1"]))
+            & (F.col(lat_col) >= float(f["lat0"]))
+            & (F.col(lat_col) <= float(f["lat1"]))
+        )
+        fid = F.when(inside, F.lit(str(f["fence_id"]))).otherwise(fid)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(point_col).asc()
+    )
+    d = (
+        pts.withColumn("fence_id", fid)
+        .withColumn("prev_fence_id", F.lag("fence_id").over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return (
+        d.filter(
+            (F.col("_rn") > 1)
+            & ~(F.col("fence_id").eqNullSafe(F.col("prev_fence_id")))
+        )
+        .withColumn(
+            "transition",
+            F.when(F.col("prev_fence_id").isNull(), F.lit("enter"))
+            .when(F.col("fence_id").isNull(), F.lit("exit"))
+            .otherwise(F.lit("switch")),
+        )
+        .select(id_col, ts_col, "fence_id", "prev_fence_id", "transition")
+    )
+
+
+def od_matrix(
+    pts: DataFrame,
+    res: int = 5,
+    id_col: str = "user_id",
+    session_col: str = "session_id",
+    ts_col: str = "ts",
+    point_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Origin-destination matrix: per (track, session), the FIRST and
+    LAST point's grid cell, rolled up to flow counts — the transport-
+    analytics staple over sessionized tracks.  Ordering ties on the
+    timestamp break by ``point_col`` so first/last are deterministic.
+
+    Engine shape: one window shuffle (first/last by time within the
+    session) + one map-side-combinable count on (origin, dest).  Cells
+    are the packed tile keys of :mod:`operators.tiling` (pure JVM).
+
+    Returns (origin_key, dest_key, n_trips BIGINT).
+    """
+    from pyspark.sql import Window
+
+    from .tiling import _tile_xy_expr
+
+    key = F.shiftleft(_tile_xy_expr(lon_col, res, 360.0, 180.0), res).bitwiseOR(
+        _tile_xy_expr(lat_col, res, 180.0, 90.0)
+    )
+    w = Window.partitionBy(id_col, session_col).orderBy(
+        F.col(ts_col).asc(), F.col(point_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = (
+        pts.withColumn("_key", key)
+        .withColumn("origin_key", F.first("_key").over(w))
+        .withColumn("dest_key", F.last("_key").over(w))
+        .groupBy(id_col, session_col, "origin_key", "dest_key")
+        .agg(F.count(F.lit(1)).alias("_npts"))
+    )
+    return (
+        d.groupBy("origin_key", "dest_key")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )

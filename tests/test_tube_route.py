@@ -147,3 +147,88 @@ class TestTrackHausdorff:
             want = round(h(tracks[ua], tracks[ub]) * 1e9)
             assert out[(ua, ub)] == want, (ua, ub)
         assert out[(1, 2)] < out[(2, 1)]  # directedness
+
+
+class TestGeofenceTransitions:
+    def test_enter_exit_switch_and_priority(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import geofence_transitions
+
+        fences = [
+            dict(fence_id="A", lon0=0, lat0=0, lon1=10, lat1=10),
+            dict(fence_id="B", lon0=5, lat0=5, lon1=20, lat1=20),  # overlaps A
+        ]
+        rows = [
+            # user 1: outside -> A -> A/B overlap (A wins: priority) -> B -> outside
+            (1, 1, "2026-01-01 00:00:00", -5.0, -5.0),
+            (1, 2, "2026-01-01 00:01:00", 2.0, 2.0),
+            (1, 3, "2026-01-01 00:02:00", 7.0, 7.0),
+            (1, 4, "2026-01-01 00:03:00", 15.0, 15.0),
+            (1, 5, "2026-01-01 00:04:00", 50.0, 50.0),
+            # user 2: starts INSIDE A (first row: no event), stays
+            (2, 6, "2026-01-01 00:00:00", 1.0, 1.0),
+            (2, 7, "2026-01-01 00:01:00", 2.0, 2.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = geofence_transitions(spark.createDataFrame(pdf), fences).toPandas()
+        u1 = out[out["user_id"] == 1].sort_values("ts")
+        assert u1["transition"].tolist() == ["enter", "switch", "exit"]
+        assert u1["fence_id"].tolist() == ["A", "B", None]
+        assert u1["prev_fence_id"].tolist() == [None, "A", "B"]
+        assert len(out[out["user_id"] == 2]) == 0  # no transition, no first-row noise
+
+    def test_overlap_first_match_wins(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import geofence_transitions
+
+        fences = [
+            dict(fence_id="TOP", lon0=0, lat0=0, lon1=10, lat1=10),
+            dict(fence_id="SHADOW", lon0=0, lat0=0, lon1=10, lat1=10),  # identical box
+        ]
+        pdf = pd.DataFrame(
+            [(1, 1, "2026-01-01 00:00:00", -5.0, -5.0),
+             (1, 2, "2026-01-01 00:01:00", 5.0, 5.0)],
+            columns=["user_id", "event_id", "ts", "lon", "lat"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = geofence_transitions(spark.createDataFrame(pdf), fences).toPandas()
+        assert out["fence_id"].tolist() == ["TOP"]
+
+
+class TestOdMatrix:
+    def test_first_last_cells_and_tie_break(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import od_matrix
+
+        # res=5 -> 32x32 cells (11.25 x 5.625 deg); same session, two users
+        rows = [
+            # user 1 session s1: start near (0,0) -> end near (100, 40)
+            (1, "s1", 1, "2026-01-01 00:00:00", 0.1, 0.1),
+            (1, "s1", 2, "2026-01-01 00:10:00", 50.0, 20.0),
+            (1, "s1", 3, "2026-01-01 00:20:00", 100.0, 40.0),
+            # user 2 same route -> same OD pair (flow count 2)
+            (2, "s1", 4, "2026-01-01 00:00:00", 0.2, 0.2),
+            (2, "s1", 5, "2026-01-01 00:30:00", 100.2, 40.2),
+            # user 3: TIED timestamps — event_id breaks: origin=id6, dest=id7
+            (3, "s1", 6, "2026-01-01 00:00:00", -170.0, -80.0),
+            (3, "s1", 7, "2026-01-01 00:00:00", 170.0, 80.0),
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "session_id", "event_id", "ts", "lon", "lat"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = od_matrix(spark.createDataFrame(pdf), res=5).toPandas()
+
+        def key(lon, lat):
+            x = min(max(int((lon + 180.0) / 360.0 * 32), 0), 31)
+            y = min(max(int((lat + 90.0) / 180.0 * 32), 0), 31)
+            return (x << 5) | y
+
+        flows = {(r["origin_key"], r["dest_key"]): r["n_trips"] for _, r in out.iterrows()}
+        assert flows[(key(0.1, 0.1), key(100.0, 40.0))] == 2
+        assert flows[(key(-170.0, -80.0), key(170.0, 80.0))] == 1
+        assert sum(flows.values()) == 3
