@@ -647,6 +647,17 @@ def q_od_matrix(spark, sf_dir):
     return tube.od_matrix(pts, res=5)
 
 
+def q_resample_tracks(spark, sf_dir):
+    """Hourly track resampling: interpolated position at every hour
+    boundary inside each consecutive-fix segment, integer-microsecond
+    epochs + one identical double division per point in both engines."""
+    from .operators import tube
+
+    return tube.resample_tracks(
+        _event_points(spark, sf_dir).filter(F.col("user_id") < 20), step_s=3600
+    )
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -995,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_clusters": q_hotspot_clusters,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
+        "resample_tracks": q_resample_tracks,
     }
 
 
@@ -1662,5 +1674,31 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT DISTINCT user_id, session_id, origin_key, dest_key FROM s)
             SELECT origin_key, dest_key, COUNT(*) AS n_trips
             FROM d GROUP BY origin_key, dest_key
+        """,
+        "resample_tracks": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+              FROM events WHERE user_id < 20),
+            t AS (
+              SELECT user_id, epoch_us(ts) AS t, lon, lat,
+                     LEAD(epoch_us(ts)) OVER w AS nt,
+                     LEAD(lon) OVER w AS nlon,
+                     LEAD(lat) OVER w AS nlat
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (SELECT * FROM t WHERE nt IS NOT NULL AND nt > t),
+            e AS (
+              SELECT user_id, t, nt, lon, lat, nlon, nlat,
+                     UNNEST(range(t // 3600000000 + 1, nt // 3600000000 + 1)) AS k
+              FROM seg)
+            SELECT user_id,
+                   k * 3600000000 AS b_us,
+                   CAST(ROUND((lon + (nlon - lon) *
+                        (CAST(k * 3600000000 - t AS DOUBLE) / CAST(nt - t AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lon_micros,
+                   CAST(ROUND((lat + (nlat - lat) *
+                        (CAST(k * 3600000000 - t AS DOUBLE) / CAST(nt - t AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lat_micros
+            FROM e
         """,
     }

@@ -340,3 +340,62 @@ def od_matrix(
         d.groupBy("origin_key", "dest_key")
         .agg(F.count(F.lit(1)).alias("n_trips"))
     )
+
+
+def resample_tracks(
+    pts: DataFrame,
+    step_s: int = 3600,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    point_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Fixed-interval track resampling: linearly-interpolated position at
+    every ``step_s`` wall-clock boundary that falls strictly inside a
+    consecutive-fix segment (t_prev < boundary <= t_next) — the gap-fill
+    /regularization step before any fixed-step trajectory model.
+
+    Exactness: timestamps become integer MICROSECOND epochs
+    (``unix_micros`` / DuckDB ``epoch_us``), boundaries come from integer
+    division, and the one double division (the interpolation fraction)
+    is the identical expression in both engines, so the quantized output
+    matches the oracle bit-for-bit.  Zero-duration segments (tied
+    timestamps) are skipped.
+
+    Engine shape: one (track, time) window shuffle for the lead() fix,
+    then a row-local sequence explode — boundaries never shuffle.
+
+    Returns (id_col, b_us, lon_micros, lat_micros).
+    """
+    from pyspark.sql import Window
+
+    step_us = int(step_s) * 1_000_000
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(point_col).asc()
+    )
+    d = (
+        pts.withColumn("_t", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn("_nt", F.lead("_t").over(w))
+        .withColumn("_nlon", F.lead(lon_col).over(w))
+        .withColumn("_nlat", F.lead(lat_col).over(w))
+        .filter(F.col("_nt").isNotNull() & (F.col("_nt") > F.col("_t")))
+    )
+    # boundary multiples k with _t < k*step <= _nt; Spark sequence(lo, hi)
+    # DESCENDS when lo > hi, so the empty case needs the explicit guard
+    ks = (
+        f"CASE WHEN _t DIV {step_us} + 1 > _nt DIV {step_us} THEN array() "
+        f"ELSE sequence(_t DIV {step_us} + 1, _nt DIV {step_us}) END"
+    )
+    d = d.withColumn("_k", F.explode(F.expr(ks)))
+    frac = f"CAST(_k * {step_us} - _t AS DOUBLE) / CAST(_nt - _t AS DOUBLE)"
+    return d.select(
+        id_col,
+        F.expr(f"_k * {step_us}").alias("b_us"),
+        F.expr(
+            f"CAST(ROUND(({lon_col} + (_nlon - {lon_col}) * ({frac})) * 1000000) AS BIGINT)"
+        ).alias("lon_micros"),
+        F.expr(
+            f"CAST(ROUND(({lat_col} + (_nlat - {lat_col}) * ({frac})) * 1000000) AS BIGINT)"
+        ).alias("lat_micros"),
+    )

@@ -232,3 +232,53 @@ class TestOdMatrix:
         assert flows[(key(0.1, 0.1), key(100.0, 40.0))] == 2
         assert flows[(key(-170.0, -80.0), key(170.0, 80.0))] == 1
         assert sum(flows.values()) == 3
+
+
+class TestResampleTracks:
+    def test_interpolation_boundaries_and_edges(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import resample_tracks
+
+        rows = [
+            # user 1: fixes at 00:30 and 02:30 -> boundaries 01:00, 02:00
+            (1, 1, "2026-01-01 00:30:00", 0.0, 0.0),
+            (1, 2, "2026-01-01 02:30:00", 4.0, 8.0),
+            # user 2: fix exactly ON a boundary then 30 min later -> none
+            # strictly inside (boundary at fix time belongs to NO segment)
+            (2, 3, "2026-01-01 01:00:00", 1.0, 1.0),
+            (2, 4, "2026-01-01 01:30:00", 2.0, 2.0),
+            # user 3: tied timestamps -> zero-duration segment skipped
+            (3, 5, "2026-01-01 00:10:00", 5.0, 5.0),
+            (3, 6, "2026-01-01 00:10:00", 6.0, 6.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = resample_tracks(spark.createDataFrame(pdf), step_s=3600).toPandas()
+        u1 = out[out["user_id"] == 1].sort_values("b_us")
+        # 01:00 is 30/120 min along: lon 1.0, lat 2.0; 02:00 is 90/120: 3.0, 6.0
+        assert u1["lon_micros"].tolist() == [1_000_000, 3_000_000]
+        assert u1["lat_micros"].tolist() == [2_000_000, 6_000_000]
+        epoch = pd.Timestamp("2026-01-01 01:00:00").value // 1000
+        assert u1["b_us"].tolist() == [epoch, epoch + 3_600_000_000]
+        assert len(out[out["user_id"] == 2]) == 0
+        assert len(out[out["user_id"] == 3]) == 0
+
+    def test_segment_end_on_boundary_included_once(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import resample_tracks
+
+        # second fix exactly at 01:00: boundary == segment end -> emitted
+        # (frac 1.0 = the fix position), and the NEXT segment starting at
+        # 01:00 does not re-emit it
+        rows = [
+            (1, 1, "2026-01-01 00:30:00", 0.0, 0.0),
+            (1, 2, "2026-01-01 01:00:00", 2.0, 2.0),
+            (1, 3, "2026-01-01 01:30:00", 4.0, 4.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = resample_tracks(spark.createDataFrame(pdf), step_s=3600).toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["lon_micros"] == 2_000_000
