@@ -658,6 +658,14 @@ def q_resample_tracks(spark, sf_dir):
     )
 
 
+def q_dwell_segments(spark, sf_dir):
+    """Stay-point detection: maximal consecutive same-cell runs per user
+    lasting >= 10 minutes (gaps-and-islands, res-5 grid)."""
+    from .operators import tube
+
+    return tube.dwell_segments(_event_points(spark, sf_dir), res=5, min_duration_s=600)
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -1007,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
         "resample_tracks": q_resample_tracks,
+        "dwell_segments": q_dwell_segments,
     }
 
 
@@ -1700,5 +1709,28 @@ def oracle_sql() -> dict[str, str]:
                         (CAST(k * 3600000000 - t AS DOUBLE) / CAST(nt - t AS DOUBLE)))
                         * 1000000) AS BIGINT) AS lat_micros
             FROM e
+        """,
+        "dwell_segments": f"""
+            WITH pts AS (
+              SELECT event_id, user_id, ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+              FROM events),
+            k AS (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+                ((least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 0), 31) << 5)
+                 | least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 0), 31))
+                AS cell_key
+              FROM pts),
+            g AS (
+              SELECT user_id, cell_key, t,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     - ROW_NUMBER() OVER (PARTITION BY user_id, cell_key
+                                          ORDER BY ts, event_id) AS grp
+              FROM k)
+            SELECT user_id, cell_key,
+                   MIN(t) AS enter_us, MAX(t) AS exit_us,
+                   COUNT(*) AS n_pts
+            FROM g GROUP BY user_id, cell_key, grp
+            HAVING MAX(t) - MIN(t) >= 600000000
         """,
     }

@@ -399,3 +399,58 @@ def resample_tracks(
             f"CAST(ROUND(({lat_col} + (_nlat - {lat_col}) * ({frac})) * 1000000) AS BIGINT)"
         ).alias("lat_micros"),
     )
+
+
+def dwell_segments(
+    pts: DataFrame,
+    res: int = 6,
+    min_duration_s: int = 600,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    point_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Stay-point (dwell) detection: maximal runs of CONSECUTIVE fixes in
+    the same grid cell lasting at least ``min_duration_s`` — where a
+    track stops moving, the anchor of visit/POI analytics.
+
+    Classic gaps-and-islands: island id = row_number over the track
+    minus row_number over (track, cell), both ordered by (time, point) —
+    constant exactly within a consecutive same-cell run.  Two window
+    shuffles over the same (track, time) sort + one map-side-combinable
+    rollup; integer-microsecond epochs keep the oracle exact.
+
+    Returns (id_col, cell_key, enter_us, exit_us, n_pts) for runs with
+    exit - enter >= the threshold.
+    """
+    from pyspark.sql import Window
+
+    from .tiling import _tile_xy_expr
+
+    key = F.shiftleft(_tile_xy_expr(lon_col, res, 360.0, 180.0), res).bitwiseOR(
+        _tile_xy_expr(lat_col, res, 180.0, 90.0)
+    )
+    w_all = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(point_col).asc()
+    )
+    w_cell = Window.partitionBy(id_col, "cell_key").orderBy(
+        F.col(ts_col).asc(), F.col(point_col).asc()
+    )
+    d = (
+        pts.withColumn("cell_key", key)
+        .withColumn("_t", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn(
+            "_grp", F.row_number().over(w_all) - F.row_number().over(w_cell)
+        )
+    )
+    return (
+        d.groupBy(id_col, "cell_key", "_grp")
+        .agg(
+            F.min("_t").alias("enter_us"),
+            F.max("_t").alias("exit_us"),
+            F.count(F.lit(1)).alias("n_pts"),
+        )
+        .filter(F.col("exit_us") - F.col("enter_us") >= int(min_duration_s) * 1_000_000)
+        .select(id_col, "cell_key", "enter_us", "exit_us", "n_pts")
+    )

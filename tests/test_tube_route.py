@@ -282,3 +282,33 @@ class TestResampleTracks:
         out = resample_tracks(spark.createDataFrame(pdf), step_s=3600).toPandas()
         assert len(out) == 1
         assert out.iloc[0]["lon_micros"] == 2_000_000
+
+
+class TestDwellSegments:
+    def test_runs_split_and_threshold(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import dwell_segments
+
+        rows = [
+            # user 1: 3 fixes in cell X over 20 min -> DWELL, then moves
+            # away and returns to X briefly (separate, too-short run)
+            (1, 1, "2026-01-01 00:00:00", 10.0, 10.0),
+            (1, 2, "2026-01-01 00:10:00", 10.1, 10.1),
+            (1, 3, "2026-01-01 00:20:00", 10.2, 10.2),
+            (1, 4, "2026-01-01 00:30:00", 100.0, 40.0),   # elsewhere
+            (1, 5, "2026-01-01 00:40:00", 10.0, 10.0),    # back in X
+            (1, 6, "2026-01-01 00:42:00", 10.0, 10.0),    # only 2 min
+            # user 2: single fix — zero duration, never a dwell
+            (2, 7, "2026-01-01 00:00:00", 10.0, 10.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "lon", "lat"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = dwell_segments(
+            spark.createDataFrame(pdf), res=5, min_duration_s=600
+        ).toPandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["user_id"] == 1 and r["n_pts"] == 3
+        assert (r["exit_us"] - r["enter_us"]) == 20 * 60 * 1_000_000
+        # the return visit is a DIFFERENT island: not merged into the dwell
