@@ -280,6 +280,59 @@ def q_z3_bbox_time(spark, sf_dir):
     return out.select("event_id")
 
 
+def q_xz3_bbox_time(spark, sf_dir):
+    """XZ3 path (GeoMesa ``curve/XZ3SFC.scala``: binned time ⊕ XZ2 for
+    non-point + time): box geometries derived from sampled events, each
+    carrying its event timestamp, written to a ``time_bin=W/xz_level=L/
+    xz_bucket=B`` hive layout — ALL THREE partition dimensions prune —
+    then queried with bbox + time range.  Box half-sizes end in .005 and
+    the query rect in .007, so no edge comparison lands on the 0.01°
+    synthetic grid: bbox-overlap decisions are float-exact on both
+    engines."""
+    import os
+
+    from .operators import xz2
+    from .sources.corpus import CACHE_DIR
+
+    pts = _event_points(spark, sf_dir)
+    geoms = (
+        pts.filter(
+            (F.col("event_id") % 41 == 2)
+            & (F.col("lat") >= -80.0) & (F.col("lat") <= 80.0)
+            & (F.col("lon") >= -170.0) & (F.col("lon") <= 170.0)
+        )
+        .select(
+            F.col("event_id").alias("geom_id"),
+            F.col("ts"),
+            F.expr(
+                "concat('POLYGON((',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), ', ',"
+                " CAST(lon + 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), ', ',"
+                " CAST(lon + 2.005 AS STRING), ' ', CAST(lat + 1.005 AS STRING), ', ',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat + 1.005 AS STRING), ', ',"
+                " CAST(lon - 2.005 AS STRING), ' ', CAST(lat - 1.005 AS STRING), '))')"
+            ).alias("wkt"),
+        )
+    )
+    fp = geoms.agg(
+        F.count("*").alias("n"), F.sum(F.hash("geom_id", "ts")).alias("h")
+    ).collect()[0]
+    path = os.path.join(
+        CACHE_DIR, f"xz3_geoms_n{fp['n']}_h{(fp['h'] or 0) & 0xFFFFFFFF:x}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        xz2.write_partitioned_geoms(geoms, path, time_col="ts")
+    out = xz2.query_geoms(
+        spark, path,
+        "POLYGON((-60.007 -60.007, 60.007 -60.007, 60.007 60.007, "
+        "-60.007 60.007, -60.007 -60.007))",
+        "intersects",
+        time_col="ts",
+        time_range=("2024-01-05 00:00:00", "2024-01-19 00:00:00"),
+    )
+    return out.select("geom_id")
+
+
 def q_flagship_spans_join(spark, sf_dir):
     """Rows-only (interleaved-span corpus is not a driver view): the
     flagship documents_spans ⋈ fixture-polygons join, all 12 polygons."""
@@ -971,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz2_poly_point_join": q_xz2_poly_point_join,
         "xz2_poly_poly_join": q_xz2_poly_poly_join,
         "z3_bbox_time": q_z3_bbox_time,
+        "xz3_bbox_time": q_xz3_bbox_time,
         "flagship_spans_join": q_flagship_spans_join,
         "flagship_rect_join": q_flagship_rect_join,
         "temporal_filter": q_temporal_filter,
@@ -1225,6 +1279,18 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat >= -60.005 AND p.lat <= 60.005
               AND e.ts >= TIMESTAMP '2024-01-08 00:00:00'
               AND e.ts < TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        "xz3_bbox_time": f"""
+            WITH {_pts_cte()}
+            SELECT p.event_id AS geom_id
+            FROM pts p JOIN events e ON p.event_id = e.event_id
+            WHERE p.event_id % 41 = 2
+              AND p.lat >= -80.0 AND p.lat <= 80.0
+              AND p.lon >= -170.0 AND p.lon <= 170.0
+              AND p.lon - 2.005 <= 60.007 AND p.lon + 2.005 >= -60.007
+              AND p.lat - 1.005 <= 60.007 AND p.lat + 1.005 >= -60.007
+              AND e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND e.ts < TIMESTAMP '2024-01-19 00:00:00'
         """,
         "temporal_filter": """
             SELECT event_id, event_type FROM events

@@ -427,6 +427,7 @@ def xz2_join_geoms(
 def write_partitioned_geoms(
     geoms: DataFrame, path: str, wkt_col: str = "wkt",
     max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4, mode: str = "overwrite",
+    time_col: str | None = None, time_bin_days: int | None = None,
 ) -> None:
     """Persist a geometry table in an XZ2-keyed hive layout:
     ``xz_level=L/xz_bucket=B`` directories, sorted by ``xz_cell`` within
@@ -435,7 +436,14 @@ def write_partitioned_geoms(
     those layers hold the handful of continent-scale features).  A row is
     written once PER KEY (≤4×), the storage analogue of GeoMesa storing
     one XZ2 row per feature: reads prune by (level, bucket) and dedupe by
-    id is unnecessary because scans refine + each key cell is distinct."""
+    id is unnecessary because scans refine + each key cell is distinct.
+
+    With ``time_col`` the layout becomes the XZ3 analogue (GeoMesa
+    ``curve/XZ3SFC.scala``: binned time ⊕ XZ2 for non-point + time):
+    hive dirs are ``time_bin=W/xz_level=L/xz_bucket=B`` so "this region,
+    last week" prunes the time dimension BEFORE the spatial one."""
+    from ..plans.planner import TIME_BIN_DAYS, time_bin_expr
+
     d = encode_geometries(geoms, wkt_col, max_res)
     d = d.withColumn(
         "xz_bucket",
@@ -445,11 +453,17 @@ def write_partitioned_geoms(
             )
         ),
     )
+    part_cols = ["xz_level", "xz_bucket"]
+    if time_col is not None:
+        d = d.withColumn(
+            "time_bin", time_bin_expr(time_col, time_bin_days or TIME_BIN_DAYS)
+        )
+        part_cols = ["time_bin", "xz_level", "xz_bucket"]
     (
-        d.repartition("xz_level", "xz_bucket")
+        d.repartition(*[F.col(c) for c in part_cols])
         .sortWithinPartitions("xz_cell")
         .write.mode(mode)
-        .partitionBy("xz_level", "xz_bucket")
+        .partitionBy(*part_cols)
         .parquet(path)
     )
 
@@ -457,6 +471,7 @@ def write_partitioned_geoms(
 def scan_partitioned_geoms(
     spark: SparkSession, path: str, query_wkt: str,
     max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4,
+    time_range: tuple[str, str] | None = None, time_bin_days: int | None = None,
 ) -> DataFrame:
     """Pruned candidate scan over an XZ2 layout: for each level, keep only
     buckets whose cells can intersect the query bbox.  The filter is a
@@ -464,8 +479,12 @@ def scan_partitioned_geoms(
     partition-column comparisons, so Catalyst directory-prunes before any
     row is read.  Candidates may repeat per key row: callers that need
     per-feature rows must dropDuplicates on their id after refine (keys of
-    ONE query geometry can hit 2+ key rows of the same stored feature)."""
-    from ..plans.planner import extract_bounds
+    ONE query geometry can hit 2+ key rows of the same stored feature).
+
+    ``time_range`` (against an XZ3 layout with ``time_bin=`` dirs) adds a
+    time_bin BETWEEN term — the time dimension prunes too; the caller
+    applies the exact fine-grained timestamp filter."""
+    from ..plans.planner import TIME_BIN_DAYS, extract_bounds
 
     lon0, lat0, lon1, lat1 = extract_bounds(query_wkt)
     terms = []
@@ -483,20 +502,43 @@ def scan_partitioned_geoms(
     cond = terms[0]
     for t in terms[1:]:
         cond = cond | t
-    return spark.read.parquet(path).filter(cond)
+    df = spark.read.parquet(path).filter(cond)
+    if time_range is not None and "time_bin" in df.columns:
+        width = 86400 * (time_bin_days or TIME_BIN_DAYS)
+        t0 = int(pd.Timestamp(time_range[0], tz="UTC").timestamp())
+        t1 = int(pd.Timestamp(time_range[1], tz="UTC").timestamp())
+        df = df.filter(
+            (F.col("time_bin") >= t0 // width) & (F.col("time_bin") <= t1 // width)
+        )
+    return df
 
 
 def query_geoms(
     spark: SparkSession, path: str, query_wkt: str, predicate: str = "intersects",
     id_col: str = "geom_id", wkt_col: str = "wkt",
     max_res: int = DEFAULT_MAX_RES,
+    time_col: str | None = None, time_range: tuple[str, str] | None = None,
+    time_bin_days: int | None = None,
 ) -> DataFrame:
     """Region query over a stored geometry table: pruned scan → exact
     geometry-geometry refine (Arrow-batched, per-row relate on the pruned
-    candidate set only) → per-feature dedupe (a feature has ≤4 key rows)."""
+    candidate set only) → per-feature dedupe (a feature has ≤4 key rows).
+
+    With ``time_col`` + ``time_range`` over an XZ3 layout this is the
+    spatio-temporal region query: the time_bin dir prunes coarse, then the
+    exact half-open ``[t0, t1)`` timestamp filter applies row-level (same
+    contract as :func:`plans.planner.query` for Z3)."""
     from ..geo import relate
 
-    cand = scan_partitioned_geoms(spark, path, query_wkt, max_res)
+    cand = scan_partitioned_geoms(
+        spark, path, query_wkt, max_res,
+        time_range=time_range, time_bin_days=time_bin_days,
+    )
+    if time_col is not None and time_range is not None:
+        cand = cand.filter(
+            (F.col(time_col) >= F.lit(time_range[0]).cast("timestamp"))
+            & (F.col(time_col) < F.lit(time_range[1]).cast("timestamp"))
+        )
     qg = wkt.parse_wkt(query_wkt)
 
     @F.pandas_udf("boolean")
@@ -517,6 +559,6 @@ def query_geoms(
 
     return (
         cand.filter(refine(F.col(wkt_col)))
-        .drop("xz_level", "xz_cell", "xz_bucket")
+        .drop("xz_level", "xz_cell", "xz_bucket", "time_bin")
         .dropDuplicates([id_col])
     )

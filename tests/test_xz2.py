@@ -214,6 +214,74 @@ class TestLayout:
         assert got == exp and len(got) > 0
 
 
+class TestXZ3Layout:
+    """XZ3 = binned time ⊕ XZ2 (GeoMesa ``curve/XZ3SFC.scala``): the
+    geometry layout gains a leading ``time_bin=`` dir and the region
+    query gains an exact ``[t0, t1)`` timestamp filter."""
+
+    @pytest.fixture(scope="class")
+    def layout(self, spark, tmp_path_factory):
+        rng = _rng()
+        # 400 boxes so the query window keeps a healthy candidate set in
+        # EVERY weekly bin (200 left only ~5 spatial candidates and none
+        # in the probed window)
+        boxes = _random_boxes(400, rng)
+        # deterministic timestamps spread over ~6 weekly bins
+        ts = [
+            pd.Timestamp("2024-01-01", tz=None) + pd.Timedelta(hours=5 * i)
+            for i in range(len(boxes))
+        ]
+        rows = [(gid, w, t) for (gid, w), t in zip(boxes, ts)]
+        geoms = spark.createDataFrame(pd.DataFrame(rows, columns=["geom_id", "wkt", "ts"]))
+        path = str(tmp_path_factory.mktemp("xz3") / "geoms")
+        xz2.write_partitioned_geoms(geoms, path, time_col="ts")
+        return rows, path
+
+    def test_all_three_dims_prune(self, spark, layout):
+        rows, path = layout
+        q = _box_wkt(-40, -40, 40, 40)
+        tr = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        cand = xz2.scan_partitioned_geoms(spark, path, q, time_range=tr)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "xz_bucket" in plan and "time_bin" in plan
+        all_parts = (
+            spark.read.parquet(path)
+            .select("time_bin", "xz_level", "xz_bucket").distinct().count()
+        )
+        scan_parts = cand.select("time_bin", "xz_level", "xz_bucket").distinct().count()
+        assert scan_parts < all_parts
+        # the time dimension alone prunes: bins outside the range are gone
+        bins = {r["time_bin"] for r in cand.select("time_bin").distinct().collect()}
+        width = 86400 * 7
+        b0 = int(pd.Timestamp(tr[0], tz="UTC").timestamp()) // width
+        b1 = int(pd.Timestamp(tr[1], tz="UTC").timestamp()) // width
+        assert bins and all(b0 <= b <= b1 for b in bins)
+
+    def test_query_matches_bruteforce(self, spark, layout):
+        rows, path = layout
+        q = _box_wkt(-40, -40, 40, 40)
+        tr = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        got = {
+            r["geom_id"]
+            for r in xz2.query_geoms(
+                spark, path, q, time_col="ts", time_range=tr
+            ).collect()
+        }
+        qg = wkt.parse_wkt(q)
+        t0, t1 = pd.Timestamp(tr[0]), pd.Timestamp(tr[1])
+        exp = {
+            gid
+            for gid, w, t in rows
+            if relate.intersects(qg, wkt.parse_wkt(w)) and t0 <= t < t1
+        }
+        assert got == exp and len(got) > 0
+        # and the result is strictly narrower than the time-less query
+        all_spatial = {
+            r["geom_id"] for r in xz2.query_geoms(spark, path, q).collect()
+        }
+        assert got < all_spatial
+
+
 class TestGeomGeomJoin:
     def test_polygon_polygon_matches_bruteforce(self, spark):
         """Large×large polygon join vs an O(n·m) relate oracle — mixed
