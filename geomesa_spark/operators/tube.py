@@ -38,8 +38,12 @@ def _segments_cover(coords: np.ndarray, buffer_m: float, res: int) -> np.ndarray
     for i in range(len(coords) - 1):
         x0, y0 = coords[i]
         x1, y1 = coords[i + 1]
-        lat_ref = max(min(abs(y0), abs(y1)), 0.0)
-        pad_lon = pad_lat / max(np.cos(np.radians(lat_ref + pad_lat)), 1e-6)
+        # lon padding must be sized at the POLEWARD end of the segment
+        # (cos shrinks there): with the equatorward end a point within
+        # buffer_m near the high-latitude end fell outside the cover —
+        # a silent false negative (found by direct probe, round 3)
+        lat_ref = min(max(abs(y0), abs(y1)) + pad_lat, 89.999)
+        pad_lon = pad_lat / max(np.cos(np.radians(lat_ref)), 1e-6)
         c, r = cells.cover_bbox(
             min(x0, x1) - pad_lon, max(min(y0, y1) - pad_lat, -90.0),
             max(x0, x1) + pad_lon, min(max(y0, y1) + pad_lat, 90.0), res, max_cells=2048
@@ -158,6 +162,15 @@ def route_join(
         segs[r["route_id"]] = g.coords
         cover = _segments_cover(g.coords, max_dist_m, res)
         rows.append(pd.DataFrame({"route_id": r["route_id"], "cell": cover}))
+    if not rows:
+        # no parseable LINESTRING routes: empty match set, stable schema
+        # (pd.concat([]) would raise — same guard family as ivf_topk's
+        # empty-input fix, ADVICE round 2)
+        return (
+            points.withColumn("route_id", F.lit(None).cast("string"))
+            .withColumn("route_dist_m", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
     cover_df = spark.createDataFrame(pd.concat(rows, ignore_index=True).drop_duplicates())
 
     @F.pandas_udf("double")

@@ -312,3 +312,57 @@ class TestDwellSegments:
         assert r["user_id"] == 1 and r["n_pts"] == 3
         assert (r["exit_us"] - r["enter_us"]) == 20 * 60 * 1_000_000
         # the return visit is a DIFFERENT island: not merged into the dwell
+
+
+class TestSegmentsCoverCompleteness:
+    def test_poleward_lon_padding(self):
+        """Round-3 fix: lon padding sized at the EQUATORWARD end of a
+        lat-spanning segment missed in-buffer points near the poleward
+        end (probe: 90 km off-track at lat 69.9 was outside the cover)."""
+        from geomesa_spark import cells
+
+        coords = np.array([[0.0, 10.0], [0.0, 70.0]])
+        cover = set(tube._segments_cover(coords, 100_000.0, 8).tolist())
+        lat = 69.9
+        dlon = np.degrees(
+            90_000.0 / (kernels.EARTH_RADIUS_M * np.cos(np.radians(lat)))
+        )
+        c = int(cells.encode(np.array([-dlon]), np.array([lat]), 8)[0])
+        assert c in cover
+
+    def test_randomized_completeness(self):
+        from geomesa_spark import cells
+
+        rng = np.random.default_rng(7)
+        for _ in range(60):
+            y0, y1 = rng.uniform(-85, 85, 2)
+            x0, x1 = rng.uniform(-170, 170, 2)
+            seg = np.array([[x0, y0], [x1, y1]])
+            cov = set(tube._segments_cover(seg, 100_000.0, 8).tolist())
+            t = rng.uniform(0, 1, 20)
+            px = x0 + (x1 - x0) * t
+            py = y0 + (y1 - y0) * t
+            ang = rng.uniform(0, 2 * np.pi, 20)
+            r_m = rng.uniform(0, 99_000.0, 20)
+            dlat = np.degrees(r_m / kernels.EARTH_RADIUS_M) * np.sin(ang)
+            dlon = np.degrees(
+                r_m
+                / (
+                    kernels.EARTH_RADIUS_M
+                    * np.cos(np.radians(np.clip(py + dlat, -89, 89)))
+                )
+            ) * np.cos(ang)
+            qx = ((px + dlon + 180) % 360) - 180
+            qy = np.clip(py + dlat, -89.9, 89.9)
+            d = kernels.point_segments_dist_m(qx, qy, seg)
+            cc = cells.encode(qx, qy, 8)
+            for i in range(20):
+                if d[i] <= 100_000.0:
+                    assert int(cc[i]) in cov
+
+
+def test_route_join_no_valid_routes(spark, events_df):
+    """All-invalid routes: empty result with a stable schema, no crash."""
+    out = tube.route_join(events_df, [dict(route_id="r1", wkt="POLYGON((oops")], 1000.0)
+    assert out.count() == 0
+    assert "route_id" in out.columns and "route_dist_m" in out.columns
