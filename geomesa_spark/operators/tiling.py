@@ -263,16 +263,52 @@ def rasterize_tiles(
 
 def query_tiles_bbox(tiles: DataFrame, zoom: int, lon0, lat0, lon1, lat1) -> DataFrame:
     """Raster→vector query: prune a tile layer to a bbox via the tile-id
-    cover (prefix/range filter — no geometry evaluated on the big side)."""
+    cover (prefix/range filter — no geometry evaluated on the big side).
+
+    Layers carrying ``tile_x``/``tile_y`` (tile_pyramid output) take the
+    scale path: the bbox is a RECTANGLE in tile space, so the filter is
+    four pure-JVM comparisons — no cover list at all, and the result is
+    EXACT.  Morton-only layers (rollup_pyramid output) use an IN-list
+    for small covers and merged [lo, hi] Morton ranges combined in a
+    BALANCED or-tree for large ones (a linear fold of thousands of
+    ranges overflows the Catalyst conversion stack; a 2^20-literal IN
+    list bloats the plan); when the cover budget forces coarser cells
+    the ranges are a tight SUPERSET prune (within one coarse cell of the
+    bbox) — the standard index-scan contract, refine downstream."""
+    n = 1 << zoom
+    if "tile_x" in tiles.columns and "tile_y" in tiles.columns:
+        x0 = max(int(np.floor((lon0 + 180.0) / 360.0 * n)), 0)
+        x1 = min(int(np.floor((lon1 + 180.0) / 360.0 * n)), n - 1)
+        y0 = max(int(np.floor((lat0 + 90.0) / 180.0 * n)), 0)
+        y1 = min(int(np.floor((lat1 + 90.0) / 180.0 * n)), n - 1)
+        return tiles.filter(
+            (F.col("tile_x") >= x0) & (F.col("tile_x") <= x1)
+            & (F.col("tile_y") >= y0) & (F.col("tile_y") <= y1)
+        )
     cover, r = cells.cover_bbox(lon0, lat0, lon1, lat1, zoom, max_cells=1 << 20)
-    if r != zoom:  # budget forced coarser cells: expand back (rare; bounded)
-        fine = []
-        for c in cover:
-            span = zoom - r
-            base = int(c) << (2 * span)
-            fine.append(np.arange(base, base + (1 << (2 * span)), dtype=np.int64))
-        cover = np.concatenate(fine)
-    return tiles.filter(F.col("tile_cell").isin([int(c) for c in cover]))
+    if r == zoom and len(cover) <= 4096:
+        return tiles.filter(F.col("tile_cell").isin([int(c) for c in cover]))
+    span = zoom - r
+    lo = cover.astype(np.int64) << (2 * span)
+    hi = lo + (1 << (2 * span)) - 1
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    # coalesce adjacent/overlapping ranges (Morton siblings are contiguous)
+    merged: list[tuple[int, int]] = []
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    terms = [
+        (F.col("tile_cell") >= a) & (F.col("tile_cell") <= b) for a, b in merged
+    ]
+    while len(terms) > 1:  # balanced reduce: O(log n) expression depth
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return tiles.filter(terms[0])
 
 
 def hotspot_clusters(
@@ -301,6 +337,7 @@ def hotspot_clusters(
     Returns (cell_key, n, cluster_rep, is_canonical) — one row per core
     cell; points map to clusters by re-encoding their key.
     """
+    from ..cache import swap_cache
     from .dedup import dedup_clusters
 
     key = F.shiftleft(_tile_xy_expr(lon, res, 360.0, 180.0), res).bitwiseOR(
@@ -312,6 +349,11 @@ def hotspot_clusters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= int(min_pts))
     )
+    # core is consumed FOUR times downstream (edge left side, edge
+    # neighbor probe, the CC node set, the final label join) — without a
+    # persist each consumer re-runs the corpus-scale count shuffle; with
+    # it they all read ≤4^res cached rows (bounded registry, see cache.py)
+    core = swap_cache("hotspot_clusters.core", core)
     n_side = 1 << res
     # 8 neighbors of (x, y), dropped at the grid border (no wrap: the
     # clamped tile grid does not wrap either)

@@ -88,6 +88,43 @@ def test_query_tiles_bbox_prunes(spark, points_df):
     assert 0 < len(sub) < base.count()
 
 
+def test_query_tiles_bbox_range_path_parity(spark, points_df):
+    """A wide bbox at a high zoom exceeds the IN-list threshold and takes
+    the merged-range branch; it must select exactly the tiles whose cell
+    bounds intersect the bbox (same contract as the IN-list path)."""
+    base = tiling.tile_pyramid(points_df, [11]).cache()
+    bbox = (-120.0, -60.0, 120.0, 60.0)
+    pdf = base.toPandas()
+    cs = cells.interleave(pdf["tile_x"].to_numpy(), pdf["tile_y"].to_numpy())
+    lon0, lat0, lon1, lat1 = cells.cell_bounds(cs, 11)
+    exp_cells = set(
+        cs[
+            (lon1 >= bbox[0]) & (lon0 <= bbox[2])
+            & (lat1 >= bbox[1]) & (lat0 <= bbox[3])
+        ].tolist()
+    )
+    # rectangle branch (layer has tile_x/tile_y — four JVM comparisons)
+    rect = tiling.query_tiles_bbox(base, 11, *bbox).toPandas()
+    rect_cells = set(
+        cells.interleave(rect["tile_x"].to_numpy(), rect["tile_y"].to_numpy()).tolist()
+    )
+    assert rect_cells == exp_cells and len(rect_cells) > 0
+    # Morton-only layer forces the merged-range balanced-or branch: a
+    # tight SUPERSET prune (cover budget quantizes to coarser cells) —
+    # complete, and every extra tile within one coarse cell of the bbox
+    morton_cells = set(
+        tiling.query_tiles_bbox(base.select("tile_cell", "n"), 11, *bbox)
+        .toPandas()["tile_cell"].tolist()
+    )
+    assert exp_cells <= morton_cells
+    extra = np.array(sorted(morton_cells - exp_cells), dtype=np.int64)
+    if len(extra):
+        lon0e, lat0e, lon1e, lat1e = cells.cell_bounds(extra, 11)
+        pad = 360.0 / (1 << 10)  # one coarse (r=10) cell
+        assert ((lon1e >= bbox[0] - pad) & (lon0e <= bbox[2] + pad)
+                & (lat1e >= bbox[1] - pad) & (lat0e <= bbox[3] + pad)).all()
+
+
 @pytest.mark.parametrize("res", [5, 7])
 def test_knn_matches_bruteforce(spark, points_df, points_pdf, res):
     queries = corpus.fixture_knn_queries()[:6]
