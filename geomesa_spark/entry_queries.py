@@ -280,6 +280,55 @@ def q_z3_bbox_time(spark, sf_dir):
     return out.select("event_id")
 
 
+def q_st_sql_measures(spark, sf_dir):
+    """The GeoMesa SparkSQL surface end-to-end AS SQL STRINGS: rectangles
+    built in SQL, parsed with the registered ``st_geomFromWKT``, measured
+    with ``st_area`` / ``st_centroid`` (via st_x/st_y) / ``st_length`` —
+    the path a user migrating GeoMesa SQL runs verbatim.  The oracle twin
+    is the closed-form arithmetic (area = 4·hw·hh, perimeter = 4·(hw+hh),
+    centroid = the center): the engine computes shoelace/segment sums
+    whose doubles differ from the closed forms only at ~1e-11, and every
+    output is rounded to integer micro-units whose true values sit ~1e-9
+    of an integer (never near a .5 boundary), so the match is exact."""
+    from .functions import st_funcs
+
+    st_funcs.register(spark)
+    pts = _event_points(spark, sf_dir).filter(
+        (F.col("event_id") % 29 == 3)
+        & (F.col("lat") >= -80.0) & (F.col("lat") <= 80.0)
+        & (F.col("lon") >= -170.0) & (F.col("lon") <= 170.0)
+    )
+    pts.createOrReplaceTempView("st_measures_src")
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT event_id,
+                 1.505 + (event_id % 4) * 0.5 AS hw,
+                 1.005 AS hh, lon, lat
+          FROM st_measures_src
+        ),
+        g AS (
+          SELECT event_id,
+                 st_geomFromWKT(concat(
+                   'POLYGON((',
+                   CAST(lon - hw AS STRING), ' ', CAST(lat - hh AS STRING), ', ',
+                   CAST(lon + hw AS STRING), ' ', CAST(lat - hh AS STRING), ', ',
+                   CAST(lon + hw AS STRING), ' ', CAST(lat + hh AS STRING), ', ',
+                   CAST(lon - hw AS STRING), ' ', CAST(lat + hh AS STRING), ', ',
+                   CAST(lon - hw AS STRING), ' ', CAST(lat - hh AS STRING), '))'
+                 )) AS geom
+          FROM r
+        )
+        SELECT event_id,
+               CAST(ROUND(st_area(geom) * 1000000) AS BIGINT) AS area_u,
+               CAST(ROUND(st_length(geom) * 1000000) AS BIGINT) AS perim_u,
+               CAST(ROUND(st_x(st_centroid(geom)) * 1000000) AS BIGINT) AS cx_u,
+               CAST(ROUND(st_y(st_centroid(geom)) * 1000000) AS BIGINT) AS cy_u
+        FROM g
+        """
+    )
+
+
 def q_xz3_bbox_time(spark, sf_dir):
     """XZ3 path (GeoMesa ``curve/XZ3SFC.scala``: binned time ⊕ XZ2 for
     non-point + time): box geometries derived from sampled events, each
@@ -1025,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz2_poly_poly_join": q_xz2_poly_poly_join,
         "z3_bbox_time": q_z3_bbox_time,
         "xz3_bbox_time": q_xz3_bbox_time,
+        "st_sql_measures": q_st_sql_measures,
         "flagship_spans_join": q_flagship_spans_join,
         "flagship_rect_join": q_flagship_rect_join,
         "temporal_filter": q_temporal_filter,
@@ -1291,6 +1341,23 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat - 1.005 <= 60.007 AND p.lat + 1.005 >= -60.007
               AND e.ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND e.ts < TIMESTAMP '2024-01-19 00:00:00'
+        """,
+        "st_sql_measures": f"""
+            WITH {_pts_cte()},
+            r AS (
+              SELECT event_id,
+                     1.505 + (event_id % 4) * 0.5 AS hw,
+                     1.005 AS hh, lon, lat
+              FROM pts
+              WHERE event_id % 29 = 3
+                AND lat >= -80.0 AND lat <= 80.0
+                AND lon >= -170.0 AND lon <= 170.0)
+            SELECT event_id,
+                   CAST(ROUND(4 * hw * hh * 1000000) AS BIGINT) AS area_u,
+                   CAST(ROUND(4 * (hw + hh) * 1000000) AS BIGINT) AS perim_u,
+                   CAST(ROUND(lon * 1000000) AS BIGINT) AS cx_u,
+                   CAST(ROUND(lat * 1000000) AS BIGINT) AS cy_u
+            FROM r
         """,
         "temporal_filter": """
             SELECT event_id, event_type FROM events
