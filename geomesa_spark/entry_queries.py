@@ -280,6 +280,32 @@ def q_z3_bbox_time(spark, sf_dir):
     return out.select("event_id")
 
 
+def q_spacetime_join(spark, sf_dir):
+    """Large×large spatio-temporal co-location: event pairs within 150 km
+    AND 48 h of each other — the composite (cell, time_bin) shuffle key
+    the Z3 index family exists for (:func:`operators.spatial_join.
+    spatiotemporal_join_grid`).  Sides split by id mod so the pair set is
+    deterministic; |dt| is integer seconds (exact both engines) and the
+    150 km threshold sits on no pair boundary at the 0.01° grid."""
+    from .operators import spatial_join as sj
+
+    pts = _event_points(spark, sf_dir).select("event_id", "ts", "lon", "lat")
+    a = (
+        pts.filter(F.col("event_id") % 17 == 1)
+        .withColumnRenamed("event_id", "id_a")
+    )
+    b = pts.filter(F.col("event_id") % 13 == 2)
+    out = sj.spatiotemporal_join_grid(
+        a, b, res=7, dist_m=150_000.0, max_dt_s=48 * 3600,
+        left_id="id_a", right_id="event_id", unique_ids=True,
+    )
+    return out.select(
+        F.col("id_a"), F.col("event_id").alias("id_b"),
+        F.expr("CAST(ROUND(dist_m) AS BIGINT)").alias("dist_m_round"),
+        F.col("dt_s").cast("long").alias("dt_s"),
+    )
+
+
 def q_st_sql_measures(spark, sf_dir):
     """The GeoMesa SparkSQL surface end-to-end AS SQL STRINGS: rectangles
     built in SQL, parsed with the registered ``st_geomFromWKT``, measured
@@ -1075,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z3_bbox_time": q_z3_bbox_time,
         "xz3_bbox_time": q_xz3_bbox_time,
         "st_sql_measures": q_st_sql_measures,
+        "spacetime_join": q_spacetime_join,
         "flagship_spans_join": q_flagship_spans_join,
         "flagship_rect_join": q_flagship_rect_join,
         "temporal_filter": q_temporal_filter,
@@ -1341,6 +1368,25 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat - 1.005 <= 60.007 AND p.lat + 1.005 >= -60.007
               AND e.ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND e.ts < TIMESTAMP '2024-01-19 00:00:00'
+        """,
+        "spacetime_join": f"""
+            WITH {_pts_cte()},
+            a AS (
+              SELECT p.event_id AS id_a, p.lon AS alon, p.lat AS alat,
+                     epoch(e.ts) AS ats
+              FROM pts p JOIN events e ON p.event_id = e.event_id
+              WHERE p.event_id % 17 = 1),
+            b AS (
+              SELECT p.event_id AS id_b, p.lon AS blon, p.lat AS blat,
+                     epoch(e.ts) AS bts
+              FROM pts p JOIN events e ON p.event_id = e.event_id
+              WHERE p.event_id % 13 = 2)
+            SELECT id_a, id_b,
+                   CAST(ROUND({_HAVERSINE.format(lon1="alon", lat1="alat", lon2="blon", lat2="blat")}) AS BIGINT) AS dist_m_round,
+                   CAST(ABS(ats - bts) AS BIGINT) AS dt_s
+            FROM a JOIN b
+              ON {_HAVERSINE.format(lon1="alon", lat1="alat", lon2="blon", lat2="blat")} <= 150000.0
+             AND ABS(ats - bts) <= {48 * 3600}
         """,
         "st_sql_measures": f"""
             WITH {_pts_cte()},

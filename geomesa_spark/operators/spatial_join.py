@@ -606,65 +606,9 @@ def spatial_join_grid(
         salt_threshold = AUTO_SALT_TASK_ROWS if hottest_est > AUTO_SALT_TASK_ROWS else None
 
     if dist_m is not None:
-        # ring radii in CELLS that guarantee completeness at this res:
-        # lat cells are 180/2^res deg high → ky = ceil(d_deg / cell_deg);
-        # lon cells are 2× wider in degrees but shrink by cos(lat) in
-        # meters → kx = ceil(d_deg / (2·cell_deg·cos_band)) with cos taken
-        # at the poleward edge of the ky band (covers the worst partner
-        # latitude).  Tight: a 50 km join at res 8 emits a 3×3 ring at the
-        # equator, not 5×5.
-        cell_deg = 180.0 / (1 << res)
-        d_deg = float(np.degrees(dist_m / kernels.EARTH_RADIUS_M))
-        ky = int(np.ceil(d_deg / cell_deg))
-
-        @F.pandas_udf("array<long>")
-        def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
-            lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
-            lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
-            n = np.int64(1) << np.int64(res)
-            x, y = cells.lonlat_to_xy(lons, lats, res)
-            band = np.minimum(np.abs(lats) + d_deg, 89.999)
-            cos_band = np.maximum(np.cos(np.radians(band)), 1e-6)
-            kx = np.minimum(
-                np.ceil(d_deg / (2.0 * cell_deg * cos_band)).astype(np.int64), n // 2
-            )
-            out: list = [None] * len(lons)
-            dys = np.arange(-ky, ky + 1, dtype=np.int64)
-            # group rows by kx (few distinct values) → fully vectorized
-            # meshgrid per group, no per-row numpy calls
-            for kxv in np.unique(kx):
-                m = (kx == kxv) & (x >= 0)
-                if not m.any():
-                    continue
-                dxs = np.arange(-kxv, kxv + 1, dtype=np.int64)
-                gx = np.mod(x[m][:, None, None] + dxs[None, :, None], n)
-                gy = np.clip(y[m][:, None, None] + dys[None, None, :], 0, n - 1)
-                flat = cells.interleave(
-                    np.broadcast_to(gx, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
-                    np.broadcast_to(gy, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
-                ).reshape(int(m.sum()), -1)
-                # clip can duplicate cells at poles: dedupe VECTORIZED but
-                # COMPACT — sort each row, drop repeats via one boolean
-                # mask, then slice the surviving flat buffer back into
-                # per-row arrays (round-2 verdict item 8 replaced a
-                # per-row np.unique Python loop; round 3 measured the
-                # intermediate "-1 marker + post-explode filter" variant
-                # ~2x slower end-to-end on the 50 km grid join — padded
-                # rows inflate every Arrow batch and explode — so the
-                # dedupe now emits exact-length rows with no padding)
-                flat.sort(axis=1)
-                keep = np.ones(flat.shape, dtype=bool)
-                keep[:, 1:] = flat[:, 1:] != flat[:, :-1]
-                counts = keep.sum(axis=1)
-                pieces = np.split(flat[keep], np.cumsum(counts)[:-1])
-                for row_i, ring in zip(np.nonzero(m)[0], pieces):
-                    out[row_i] = ring
-            for i in range(len(out)):
-                if out[i] is None:
-                    out[i] = np.empty(0, dtype=np.int64)
-            return pd.Series(out)
-
-        l = l.withColumn("cell", F.explode(ring_cells(F.col("lon"), F.col("lat"))))
+        l = l.withColumn(
+            "cell", F.explode(ring_cells_udf(res, dist_m)(F.col("lon"), F.col("lat")))
+        )
 
     if salt_threshold is not None:
         l, r = salt_hot_cells(l, r, salt_threshold, id_col=left_id)
@@ -676,21 +620,157 @@ def spatial_join_grid(
         )
 
     if dist_m is not None:
-        @F.pandas_udf("double")
-        def hav(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
-            return pd.Series(
-                kernels.haversine_m(
-                    lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
-                    lon2.to_numpy(np.float64), lat2.to_numpy(np.float64),
-                )
-            )
-
         joined = joined.withColumn(
-            "dist_m", hav(F.col("lon"), F.col("lat"), F.col("lon_r"), F.col("lat_r"))
+            "dist_m",
+            haversine_udf()(F.col("lon"), F.col("lat"), F.col("lon_r"), F.col("lat_r")),
         ).filter(F.col("dist_m") <= float(dist_m))
         if not unique_ids:
             joined = joined.dropDuplicates([left_id, right_id])
     return joined
+
+
+def ring_cells_udf(res: int, dist_m: float):
+    """array<long> pandas UDF: the COMPLETE k-ring cell cover for a
+    ``dist_m``-radius join at ``res`` (shared by the grid joins).
+
+    Ring radii in CELLS that guarantee completeness at this res: lat
+    cells are 180/2^res deg high → ky = ceil(d_deg / cell_deg); lon
+    cells are 2× wider in degrees but shrink by cos(lat) in meters →
+    kx = ceil(d_deg / (2·cell_deg·cos_band)) with cos taken at the
+    poleward edge of the ky band (covers the worst partner latitude).
+    Tight: a 50 km join at res 8 emits a 3×3 ring at the equator, not
+    5×5."""
+    cell_deg = 180.0 / (1 << res)
+    d_deg = float(np.degrees(dist_m / kernels.EARTH_RADIUS_M))
+    ky = int(np.ceil(d_deg / cell_deg))
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        n = np.int64(1) << np.int64(res)
+        x, y = cells.lonlat_to_xy(lons, lats, res)
+        band = np.minimum(np.abs(lats) + d_deg, 89.999)
+        cos_band = np.maximum(np.cos(np.radians(band)), 1e-6)
+        kx = np.minimum(
+            np.ceil(d_deg / (2.0 * cell_deg * cos_band)).astype(np.int64), n // 2
+        )
+        out: list = [None] * len(lons)
+        dys = np.arange(-ky, ky + 1, dtype=np.int64)
+        # group rows by kx (few distinct values) → fully vectorized
+        # meshgrid per group, no per-row numpy calls
+        for kxv in np.unique(kx):
+            m = (kx == kxv) & (x >= 0)
+            if not m.any():
+                continue
+            dxs = np.arange(-kxv, kxv + 1, dtype=np.int64)
+            gx = np.mod(x[m][:, None, None] + dxs[None, :, None], n)
+            gy = np.clip(y[m][:, None, None] + dys[None, None, :], 0, n - 1)
+            flat = cells.interleave(
+                np.broadcast_to(gx, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
+                np.broadcast_to(gy, (int(m.sum()), len(dxs), len(dys))).reshape(-1),
+            ).reshape(int(m.sum()), -1)
+            # clip can duplicate cells at poles: dedupe VECTORIZED but
+            # COMPACT — sort each row, drop repeats via one boolean
+            # mask, then slice the surviving flat buffer back into
+            # per-row arrays (round-2 verdict item 8 replaced a
+            # per-row np.unique Python loop; round 3 measured the
+            # intermediate "-1 marker + post-explode filter" variant
+            # ~2x slower end-to-end on the 50 km grid join — padded
+            # rows inflate every Arrow batch and explode — so the
+            # dedupe now emits exact-length rows with no padding)
+            flat.sort(axis=1)
+            keep = np.ones(flat.shape, dtype=bool)
+            keep[:, 1:] = flat[:, 1:] != flat[:, :-1]
+            counts = keep.sum(axis=1)
+            pieces = np.split(flat[keep], np.cumsum(counts)[:-1])
+            for row_i, ring in zip(np.nonzero(m)[0], pieces):
+                out[row_i] = ring
+        for i in range(len(out)):
+            if out[i] is None:
+                out[i] = np.empty(0, dtype=np.int64)
+        return pd.Series(out)
+
+    return ring_cells
+
+
+def haversine_udf():
+    """double pandas UDF over (lon1, lat1, lon2, lat2) — the exact
+    great-circle refine shared by the grid joins."""
+
+    @F.pandas_udf("double")
+    def hav(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        return pd.Series(
+            kernels.haversine_m(
+                lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                lon2.to_numpy(np.float64), lat2.to_numpy(np.float64),
+            )
+        )
+
+    return hav
+
+
+def spatiotemporal_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = DEFAULT_RES,
+    dist_m: float = 50_000.0,
+    max_dt_s: int = 3600,
+    left_id: str = "doc_id",
+    right_id: str = "event_id",
+    ts_col: str = "ts",
+    unique_ids: bool = False,
+) -> DataFrame:
+    """Space×time co-location join for two LARGE sides: pairs within
+    ``dist_m`` meters AND ``max_dt_s`` seconds of each other — the
+    spatio-temporal composite-key shuffle the Z3 index family exists for
+    (GeoMesa answers it via Z3 range planning; here both sides key on
+    (cell, time_bin) and shuffle once each).
+
+    Key design: time bins at WIDTH ``max_dt_s`` — two timestamps within
+    the window differ by at most one bin, so the left side explodes to
+    its k-ring cells × 3 bins {b-1, b, b+1}; the right side keeps its
+    single (cell, bin).  A (left, right) pair therefore matches on
+    EXACTLY ONE composite key (ring cells are distinct, bins are
+    distinct), so with row-unique ids (``unique_ids=True``) no dedupe
+    exchange exists: two shuffles total, like the pure-space grid join.
+    The exact refine (haversine + integer-second |dt|) runs on composite
+    -key collisions only.
+
+    Returns matched pairs + ``dist_m`` / ``dt_s`` columns.
+    """
+    w = int(max_dt_s)
+    l = add_cell_column(left, res).withColumn(
+        "_ts_s", F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    )
+    r = add_cell_column(right, res).withColumn(
+        "_ts_s", F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    )
+    r = r.withColumn("tbin", F.floor(F.col("_ts_s") / F.lit(w)).cast("long"))
+    l = l.withColumn(
+        "cell", F.explode(ring_cells_udf(res, dist_m)(F.col("lon"), F.col("lat")))
+    )
+    b = F.floor(F.col("_ts_s") / F.lit(w)).cast("long")
+    l = l.withColumn("tbin", F.explode(F.array(b - 1, b, b + 1)))
+    joined = l.join(
+        r.withColumnRenamed("lon", "lon_r")
+        .withColumnRenamed("lat", "lat_r")
+        .withColumnRenamed("_ts_s", "_ts_s_r")
+        .withColumnRenamed(ts_col, f"{ts_col}_r"),
+        ["cell", "tbin"],
+        "inner",
+    )
+    joined = (
+        joined.withColumn(
+            "dist_m",
+            haversine_udf()(F.col("lon"), F.col("lat"), F.col("lon_r"), F.col("lat_r")),
+        )
+        .withColumn("dt_s", F.abs(F.col("_ts_s") - F.col("_ts_s_r")))
+        .filter((F.col("dist_m") <= float(dist_m)) & (F.col("dt_s") <= w))
+    )
+    if not unique_ids:
+        joined = joined.dropDuplicates([left_id, right_id])
+    return joined.drop("_ts_s", "_ts_s_r", "tbin")
 
 
 def salt_hot_cells(

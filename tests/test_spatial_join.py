@@ -303,3 +303,71 @@ def test_flagship_plan_jit_guard(spark, docs_df):
     assert plan.count("FLOOR") <= 2, "Morton encode collapsed: JIT-hostile plan"
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_spatiotemporal_grid_join_matches_bruteforce(spark):
+    """Space×time co-location (round 3): pairs within dist AND dt vs an
+    O(n·m) oracle, including the bin-edge case |dt| == max_dt_s exactly."""
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    n, m = 400, 300
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    a = pd.DataFrame({
+        "doc_id": [f"a{i}" for i in range(n)],
+        "lon": rng.uniform(-30, 30, n),
+        "lat": rng.uniform(-20, 20, n),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 7200, n)],
+    })
+    # plant exact-boundary dt pairs: b0 is 3600 s after a0 at the same spot
+    a.loc[0, ["lon", "lat"]] = (5.0, 5.0)
+    b = pd.DataFrame({
+        "event_id": [f"b{j}" for j in range(m)],
+        "lon": rng.uniform(-30, 30, m),
+        "lat": rng.uniform(-20, 20, m),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 7200, m)],
+    })
+    b.loc[0, ["lon", "lat"]] = (5.0, 5.0)
+    b.loc[0, "ts"] = a.loc[0, "ts"] + pd.Timedelta(seconds=3600)
+
+    out = sj.spatiotemporal_join_grid(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        res=7, dist_m=50_000.0, max_dt_s=3600,
+    )
+    got = {(r["doc_id"], r["event_id"]) for r in out.select("doc_id", "event_id").collect()}
+
+    d = kernels.haversine_m(
+        a["lon"].to_numpy()[:, None], a["lat"].to_numpy()[:, None],
+        b["lon"].to_numpy()[None, :], b["lat"].to_numpy()[None, :],
+    )
+    dt = np.abs(
+        a["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()[:, None]
+        - b["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()[None, :]
+    ) / 1e9
+    ii, jj = np.nonzero((d <= 50_000.0) & (dt <= 3600))
+    exp = {(a["doc_id"].iloc[i], b["event_id"].iloc[j]) for i, j in zip(ii, jj)}
+    assert ("a0", "b0") in exp  # the planted boundary pair is in scope
+    assert got == exp and len(got) > 0
+
+
+def test_spatiotemporal_unique_ids_no_duplicates(spark):
+    """unique_ids=True skips the dedupe exchange; output must STILL be
+    pair-unique (each pair matches exactly one (cell, tbin) key)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 300
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    a = pd.DataFrame({
+        "doc_id": [f"a{i}" for i in range(n)],
+        "lon": rng.uniform(-5, 5, n),
+        "lat": rng.uniform(-5, 5, n),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 4000, n)],
+    })
+    b = a.rename(columns={"doc_id": "event_id"})
+    rows = sj.spatiotemporal_join_grid(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        res=6, dist_m=200_000.0, max_dt_s=1800, unique_ids=True,
+    ).select("doc_id", "event_id").collect()
+    pairs = [(r["doc_id"], r["event_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > n  # no dup rows
