@@ -696,7 +696,14 @@ def ring_cells_udf(res: int, dist_m: float):
 
 def haversine_udf():
     """double pandas UDF over (lon1, lat1, lon2, lat2) — the exact
-    great-circle refine shared by the grid joins."""
+    great-circle refine shared by the grid joins.
+
+    Marked nondeterministic (it isn't — the flag is an optimizer fence):
+    with the default flag Catalyst pushes the ``dist_m <= d`` filter
+    through the projection that defines ``dist_m`` and DUPLICATES the
+    Python UDF — one ArrowEvalPython on every candidate for the filter,
+    a second on every survivor for the output column.  The fence keeps
+    one evaluation (plan-asserted in tests)."""
 
     @F.pandas_udf("double")
     def hav(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
@@ -707,7 +714,7 @@ def haversine_udf():
             )
         )
 
-    return hav
+    return hav.asNondeterministic()
 
 
 def spatiotemporal_join_grid(

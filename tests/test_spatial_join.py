@@ -371,3 +371,19 @@ def test_spatiotemporal_unique_ids_no_duplicates(spark):
     ).select("doc_id", "event_id").collect()
     pairs = [(r["doc_id"], r["event_id"]) for r in rows]
     assert len(pairs) == len(set(pairs)) and len(pairs) > n  # no dup rows
+
+
+def test_haversine_refine_single_evaluation(spark):
+    """The dist_m refine UDF must appear ONCE in the physical plan — the
+    deterministic flag lets Catalyst split it into a per-candidate filter
+    copy plus a per-survivor projection copy (round-3 plan audit)."""
+    import pandas as pd
+
+    a = pd.DataFrame({"doc_id": ["a"], "lon": [0.0], "lat": [0.0]})
+    b = pd.DataFrame({"event_id": ["b"], "lon": [0.1], "lat": [0.1]})
+    j = sj.spatial_join_grid(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        res=7, dist_m=50_000.0, unique_ids=True, salt_threshold=None,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hav(") == 1
