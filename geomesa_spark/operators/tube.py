@@ -98,6 +98,10 @@ def tube_select(
             )
         )
 
+    # optimizer fence (see spatial_join.haversine_udf): without it the
+    # threshold filter splits the UDF into per-candidate + per-survivor
+    # ArrowEvalPython copies
+    tube_dist = tube_dist.asNondeterministic()
     pts = spatial_join.add_cell_column(candidates, res)
     joined = pts.join(F.broadcast(cover_df), "cell", "inner")
     joined = joined.withColumn("tube_dist_m", tube_dist(F.col("lon"), F.col("lat"))).filter(
@@ -130,7 +134,8 @@ def tube_select(
             return pd.Series(np.abs(secs - interp))
 
         joined = joined.withColumn(
-            "tube_dt_s", time_delta(F.col("lon"), F.col("lat"), F.col(ts_col))
+            "tube_dt_s",
+            time_delta.asNondeterministic()(F.col("lon"), F.col("lat"), F.col(ts_col)),
         ).filter(F.col("tube_dt_s") <= float(max_delta_s))
 
     return joined.dropDuplicates([id_col])
@@ -186,7 +191,11 @@ def route_join(
 
     pts = spatial_join.add_cell_column(points, res)
     cand = pts.join(F.broadcast(cover_df), "cell", "inner")
-    cand = cand.withColumn("route_dist_m", route_dist(F.col("lon"), F.col("lat"), F.col("route_id")))
+    # optimizer fence: one route_dist evaluation (see spatial_join.haversine_udf)
+    cand = cand.withColumn(
+        "route_dist_m",
+        route_dist.asNondeterministic()(F.col("lon"), F.col("lat"), F.col("route_id")),
+    )
     cand = cand.filter(F.col("route_dist_m") <= float(max_dist_m))
     w = Window.partitionBy(id_col).orderBy(F.col("route_dist_m").asc(), F.col("route_id").asc())
     return (
