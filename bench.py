@@ -92,7 +92,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def run(name: str, fn):
         # best-of-N steady-state timing: this sandbox VM shows transient
