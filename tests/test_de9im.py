@@ -313,3 +313,84 @@ class TestMultiJoint:
         b = self.G("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
         # boundary rows stay dim-0: endpoints are finite points (BE=0)
         assert de9im.relate_matrix(a, b) == "101FF0212"
+
+
+class TestPolyPolyBoxDifferential:
+    """Randomized differential test: poly_poly_matrix vs a closed-form
+    DE-9IM oracle for axis-aligned boxes (derived independently from the
+    interval arithmetic of open/closed rectangle parts).  Small integer
+    coordinates make touch-edge / touch-corner / shared-edge-containment /
+    equality cases frequent — the whole box-relationship taxonomy."""
+
+    @staticmethod
+    def _box_rings(x0, y0, x1, y1):
+        return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                         dtype=float)]
+
+    @staticmethod
+    def _oracle(A, B):
+        ax0, ay0, ax1, ay1 = A
+        bx0, by0, bx1, by1 = B
+
+        def overlap_open(lo, hi, a, b):
+            return min(hi, b) - max(lo, a) > 0
+
+        II = "2" if (min(ax1, bx1) - max(ax0, bx0) > 0
+                     and min(ay1, by1) - max(ay0, by0) > 0) else "F"
+
+        def int_bound(P, Q):
+            px0, py0, px1, py1 = P
+            qx0, qy0, qx1, qy1 = Q
+            hit = any(px0 < x < px1 and overlap_open(py0, py1, qy0, qy1)
+                      for x in (qx0, qx1))
+            hit |= any(py0 < y < py1 and overlap_open(px0, px1, qx0, qx1)
+                       for y in (qy0, qy1))
+            return "1" if hit else "F"
+
+        def contained(P, Q):
+            px0, py0, px1, py1 = P
+            qx0, qy0, qx1, qy1 = Q
+            return qx0 <= px0 and px1 <= qx1 and qy0 <= py0 and py1 <= qy1
+
+        IB, BI = int_bound(A, B), int_bound(B, A)
+        IE = "F" if contained(A, B) else "2"
+        EI = "F" if contained(B, A) else "2"
+        BE = "F" if contained(A, B) else "1"
+        EB = "F" if contained(B, A) else "1"
+        bb = "F"
+        for x in (ax0, ax1):
+            if x in (bx0, bx1) and overlap_open(ay0, ay1, by0, by1):
+                bb = "1"
+        for y in (ay0, ay1):
+            if y in (by0, by1) and overlap_open(ax0, ax1, bx0, bx1):
+                bb = "1"
+        if bb == "F":
+            def edges(b):
+                x0, y0, x1, y1 = b
+                return [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                        ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]
+            for (p1, p2) in edges(A):
+                for (q1, q2) in edges(B):
+                    ix0 = max(min(p1[0], p2[0]), min(q1[0], q2[0]))
+                    ix1 = min(max(p1[0], p2[0]), max(q1[0], q2[0]))
+                    iy0 = max(min(p1[1], p2[1]), min(q1[1], q2[1]))
+                    iy1 = min(max(p1[1], p2[1]), max(q1[1], q2[1]))
+                    if ix0 > ix1 or iy0 > iy1:
+                        continue
+                    if (ix1 - ix0) + (iy1 - iy0) > 0:
+                        bb = "1"
+                    elif bb == "F":
+                        bb = "0"
+        return II + IB + IE + BI + bb + BE + EI + EB + "2"
+
+    def test_random_boxes_match_closed_form(self):
+        rng = np.random.default_rng(12345)
+        for _ in range(1500):
+            ax0, ay0 = rng.integers(0, 6, 2)
+            ax1, ay1 = ax0 + rng.integers(1, 5), ay0 + rng.integers(1, 5)
+            bx0, by0 = rng.integers(0, 6, 2)
+            bx1, by1 = bx0 + rng.integers(1, 5), by0 + rng.integers(1, 5)
+            A = (float(ax0), float(ay0), float(ax1), float(ay1))
+            B = (float(bx0), float(by0), float(bx1), float(by1))
+            got = de9im.poly_poly_matrix(self._box_rings(*A), self._box_rings(*B))
+            assert got == self._oracle(A, B), (A, B)
