@@ -162,7 +162,14 @@ def main() -> None:
         lambda: entry_queries.q_xz2_poly_point_join(spark, sf_dir).count(),
     )
 
-    # 8. generic agg baseline (TPC-H Q1 analogue on driver table)
+    # 8. spatio-temporal co-location: 150 km AND 48 h on the composite
+    # (cell, time_bin) key (round-3 operator)
+    run(
+        "spacetime_join",
+        lambda: entry_queries.q_spacetime_join(spark, sf_dir).count(),
+    )
+
+    # 9. generic agg baseline (TPC-H Q1 analogue on driver table)
     run("q1_pricing", lambda: entry_queries.q_q1_pricing(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
