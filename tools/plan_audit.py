@@ -93,7 +93,29 @@ def main() -> None:
         q.q_spatial_join_rect_intersects(spark, sf_dir),
     )
 
+    plans["spacetime_join"] = (
+        "Want: exactly two shuffle Exchanges (one per side, hashing the "
+        "composite (cell, tbin) key), one join, NO dedupe exchange after "
+        "it (unique_ids split-explode: ring cells left-only, +/-1 bins "
+        "right-only, so a pair collides on exactly one key), haversine "
+        "+ |dt| refine above the join.",
+        plan_of(q.q_spacetime_join(spark, sf_dir)),
+        q.q_spacetime_join(spark, sf_dir),
+    )
+
     import re
+
+    # REGRESSION GUARD (round-3 split-explode design): the spacetime join
+    # must shuffle each side ONCE and never re-exchange for a dedupe — a
+    # third Exchange means either the x27 single-side explode or a
+    # dropDuplicates crept back in.
+    st_text = plans["spacetime_join"][1]
+    n_st_shuf = len(re.findall(r"^\(\d+\) Exchange", st_text, re.M))
+    if n_st_shuf > 2:
+        sys.exit(
+            f"PLAN REGRESSION: spacetime join has {n_st_shuf} shuffle "
+            f"Exchanges (want <=2: one per side on the composite key)"
+        )
 
     # REGRESSION GUARD (round-2 JIT discovery): the Morton cell encode must
     # stay a chain of small projections — expression collapse inlines the

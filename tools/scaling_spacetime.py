@@ -73,29 +73,55 @@ def job():
         left_id="id_a", right_id="id_b", unique_ids=True,
     ).count()
 
-# warm every worker slot outside the clock
-sj.spatiotemporal_join_grid(
-    a.sample(0.02, seed=1), b.sample(0.02, seed=1), res=7, dist_m=50_000.0,
-    max_dt_s=3600, left_id="id_a", right_id="id_b", unique_ids=True,
-).count()
-t_best = float("inf"); rows = None
+def floor_job():
+    # shuffle-pass floor: the minimal Spark job that moves the same input
+    # rows through one full exchange (hash-repartition on a unique key) —
+    # the comparator for a join whose cost IS two such exchanges, exactly
+    # as the table-pass probe is the comparator for scan-bound jobs
+    u = a.select(FF.col("id_a").alias("k"), "lon", "lat", "ts").unionAll(
+        b.select(FF.col("id_b").alias("k"), "lon", "lat", "ts"))
+    return u.repartition(cores, "k").count()
+
+floor_only = %(floor_only)d
+res = {"cores": cores, "n_a": n_a, "n_b": n_b}
+if not floor_only:
+    # warm every worker slot outside the clock
+    sj.spatiotemporal_join_grid(
+        a.sample(0.02, seed=1), b.sample(0.02, seed=1), res=7, dist_m=50_000.0,
+        max_dt_s=3600, left_id="id_a", right_id="id_b", unique_ids=True,
+    ).count()
+    t_best = float("inf"); rows = None
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = job()
+        t_best = min(t_best, time.time() - t0)
+    res.update({
+        "join_s": round(t_best, 3), "join_rows": rows,
+        "rows_per_s": round((n_a + n_b) / t_best, 1),
+    })
+floor_job()  # warm
+t_floor = float("inf")
 for _ in range(3):
     spark.catalog.clearCache()
     t0 = time.time()
-    rows = job()
-    t_best = min(t_best, time.time() - t0)
-print("RESULT " + json.dumps({
-    "cores": cores, "n_a": n_a, "n_b": n_b, "join_s": round(t_best, 3),
-    "join_rows": rows, "rows_per_s": round((n_a + n_b) / t_best, 1),
-}))
+    floor_rows = floor_job()
+    t_floor = min(t_floor, time.time() - t0)
+res.update({
+    "floor_s": round(t_floor, 3),
+    "floor_rows_per_s": round((n_a + n_b) / t_floor, 1),
+})
+print("RESULT " + json.dumps(res))
 spark.stop()
 """
 
 
-def run_child(cores: int, n_exec: int, n_rows: int, cache: str) -> dict:
+def run_child(
+    cores: int, n_exec: int, n_rows: int, cache: str, floor_only: bool = False
+) -> dict:
     code = CHILD % {
         "repo": REPO, "cores": cores, "n_exec": n_exec, "n_rows": n_rows,
-        "cache": cache,
+        "cache": cache, "floor_only": int(floor_only),
     }
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -113,32 +139,51 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=2)
     ap.add_argument("--large", type=int, default=8)
     ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument(
+        "--floor-only", action="store_true",
+        help="measure only the shuffle-pass floor and merge it into an "
+        "existing BENCH/scaling_spacetime.json (join numbers untouched)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
     from geomesa_spark.sources import corpus
 
+    out_path = os.path.join(REPO, "BENCH", "scaling_spacetime.json")
     os.makedirs(corpus.CACHE_DIR, exist_ok=True)
     results: dict[int, dict] = {}
+    floors: dict[int, dict] = {}
     order = [c for _ in range(args.reps) for c in (args.small, args.large)]
     for cores in order:
         n_exec = cores // args.exec_cores if args.exec_cores else 0
-        r = run_child(cores, n_exec, args.n, corpus.CACHE_DIR)
+        r = run_child(cores, n_exec, args.n, corpus.CACHE_DIR, args.floor_only)
         print(f"rep local-cluster[{n_exec},{args.exec_cores}] ({cores} cores): {r}")
-        best = results.get(cores)
-        if best is None or r["join_s"] < best["join_s"]:
-            results[cores] = dict(r)
+        if not args.floor_only:
+            best = results.get(cores)
+            if best is None or r["join_s"] < best["join_s"]:
+                results[cores] = dict(r)
+        fb = floors.get(cores)
+        if fb is None or r["floor_s"] < fb["floor_s"]:
+            floors[cores] = {k: r[k] for k in ("cores", "floor_s", "floor_rows_per_s")}
 
-    s, l = results[args.small], results[args.large]
-    assert s["join_rows"] == l["join_rows"], "output parity violated"
     ratio = args.large / args.small
-    eff = (l["rows_per_s"] / s["rows_per_s"]) / ratio
-    summary = {
-        "job": "spatiotemporal_join_grid (50 km AND 1 h, composite cell+time_bin key)",
-        "small": s, "large": l, "efficiency": round(eff, 3),
-    }
+    fs, fl = floors[args.small], floors[args.large]
+    floor_eff = (fl["floor_rows_per_s"] / fs["floor_rows_per_s"]) / ratio
+    if args.floor_only:
+        with open(out_path) as f:
+            summary = json.load(f)
+    else:
+        s, l = results[args.small], results[args.large]
+        assert s["join_rows"] == l["join_rows"], "output parity violated"
+        eff = (l["rows_per_s"] / s["rows_per_s"]) / ratio
+        summary = {
+            "job": "spatiotemporal_join_grid (50 km AND 1 h, composite cell+time_bin key)",
+            "small": s, "large": l, "efficiency": round(eff, 3),
+        }
+    summary["shuffle_floor"] = {"small": fs, "large": fl, "efficiency": round(floor_eff, 3)}
+    summary["floor_relative"] = round(summary["efficiency"] / floor_eff, 3)
     print(json.dumps(summary, indent=2))
-    with open(os.path.join(REPO, "BENCH", "scaling_spacetime.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 
 
