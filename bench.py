@@ -21,9 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F  # noqa: E402
 
 
+def _host_probe_s() -> float:
+    """Fixed single-thread cache-resident CPU loop (tools/bw_probe.py's
+    cpu_worker, fixed work) — the value makes the bench artifact noise-
+    self-identifying (round-3 verdict item 4): this VM shows transient
+    2-4x hypervisor slowdowns, and a probe ~2x its quiet-host baseline
+    (~0.05 s) marks the whole JSON as taken in a noisy window."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random(8192)
+    t0 = time.time()
+    for _ in range(10_000):
+        a = a * 0.9999999 + 1e-9
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe_start = _host_probe_s()
 
     from geomesa_spark.session import get_spark
     from geomesa_spark.sources import corpus
@@ -187,6 +203,10 @@ def main() -> None:
                 "spatial_join_docs_per_sec": docs_per_sec,
                 "auto_res": auto_res,
                 "cpus": cpus,
+                # noise marker: quiet host ~0.05 s; ~2x that means the
+                # suite numbers above were taken in a hypervisor-noise
+                # window (see BENCH/BASELINE.md)
+                "host_probe_s": [probe_start, _host_probe_s()],
             }
         )
     )

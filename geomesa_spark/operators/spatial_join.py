@@ -799,8 +799,14 @@ def salt_hot_cells(
     ``id_col`` is the column the left salt hashes on — it must VARY within
     a hot cell or the salt degenerates and the cell stays hot (round-2
     verdict item 6: the old code hashed whatever ``l.columns[0]`` happened
-    to be, which could be a constant or ``cell`` itself).  Default: all
-    non-cell columns (always varies if any column does)."""
+    to be, which could be a constant or ``cell`` itself).  Default: the
+    FIRST simple-typed non-cell column — never arrays/structs/maps/binary,
+    so a wide payload column (e.g. the flagship's ``spans``) is never
+    hashed per row just to pick a salt (round-3 verdict item 4); pass
+    ``id_col`` explicitly when the first simple column can be constant
+    within a hot cell."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
     spark = l.sparkSession
     hist = (
         l.sample(0.1, seed=42)
@@ -813,7 +819,21 @@ def salt_hot_cells(
         )
         .drop("count")
     )
-    salt_cols = [id_col] if id_col else [c for c in l.columns if c != "cell"]
+    if id_col:
+        salt_cols = [id_col]
+    else:
+        simple = [
+            f.name
+            for f in l.schema.fields
+            if f.name != "cell"
+            and not isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+        ]
+        if not simple:
+            raise ValueError(
+                "salt_hot_cells: no simple-typed non-cell column to hash — "
+                "pass id_col explicitly"
+            )
+        salt_cols = [simple[0]]
     l2 = l.join(F.broadcast(hist), "cell", "left").withColumn(
         "salt",
         F.when(

@@ -170,10 +170,17 @@ def route_join(
     if not rows:
         # no parseable LINESTRING routes: empty match set, stable schema
         # (pd.concat([]) would raise — same guard family as ivf_topk's
-        # empty-input fix, ADVICE round 2)
+        # empty-input fix, ADVICE round 2).  Column set AND order mirror
+        # the normal path (join key 'cell' first, then the point columns,
+        # route_id, route_dist_m) so a union across calls lines up
+        # (round-3 ADVICE: the fallback used to omit 'cell').
         return (
-            points.withColumn("route_id", F.lit(None).cast("string"))
-            .withColumn("route_dist_m", F.lit(None).cast("double"))
+            points.select(
+                F.lit(None).cast("long").alias("cell"),
+                *[F.col(c) for c in points.columns],
+                F.lit(None).cast("string").alias("route_id"),
+                F.lit(None).cast("double").alias("route_dist_m"),
+            )
             .filter(F.lit(False))
         )
     cover_df = spark.createDataFrame(pd.concat(rows, ignore_index=True).drop_duplicates())

@@ -530,6 +530,15 @@ def query_geoms(
     contract as :func:`plans.planner.query` for Z3)."""
     from ..geo import relate
 
+    if time_range is not None and time_col is None:
+        # scan_partitioned_geoms prunes time at BIN granularity only; the
+        # exact [t0, t1) refine below needs the timestamp column.  Without
+        # it the caller would silently get up to a full bin of extra rows
+        # (round-3 ADVICE) — fail loudly instead.
+        raise ValueError(
+            "time_range requires time_col: the partition prune is "
+            "bin-granular and the exact [t0, t1) refine reads time_col"
+        )
     cand = scan_partitioned_geoms(
         spark, path, query_wkt, max_res,
         time_range=time_range, time_bin_days=time_bin_days,

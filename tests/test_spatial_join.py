@@ -175,6 +175,48 @@ def test_salt_spreads_with_cell_first_column(spark):
     assert l2.join(r2, ["cell", "salt"]).count() == n
 
 
+def test_salt_default_basis_skips_payload_columns(spark):
+    """Round-3 verdict item 4: with id_col omitted, the default salt basis
+    must be ONE simple-typed column — never a wide array/struct payload
+    like the flagship's ``spans`` — and the salt must still spread."""
+    import pyspark.sql.functions as F
+
+    n = 2000
+    l = (
+        spark.createDataFrame(
+            pd.DataFrame({"cell": np.full(n, 7, dtype=np.int64), "row_id": np.arange(n)})
+        )
+        # payload column FIRST in schema order after cell: the old default
+        # (all non-cell columns) would have hashed it per row
+        .select(
+            "cell",
+            F.array(F.struct(F.lit("geo").alias("kind"), F.col("row_id").alias("v"))).alias(
+                "spans"
+            ),
+            "row_id",
+        )
+    )
+    r = spark.createDataFrame(pd.DataFrame({"cell": np.asarray([7], dtype=np.int64), "rid": [0]}))
+    l2, r2 = sj.salt_hot_cells(l, r, threshold=100)
+    # the salt expression hashes row_id only, not the spans payload
+    import re
+
+    analyzed = l2._jdf.queryExecution().analyzed().toString()
+    hash_args = re.findall(r"xxhash64\(([^)]*)\)", analyzed)
+    assert hash_args and all(
+        "spans" not in a and "row_id" in a for a in hash_args
+    ), hash_args
+    assert l2.select("salt").distinct().count() > 4
+    assert l2.join(r2, ["cell", "salt"]).count() == n
+    # no simple column at all -> loud failure, not a silent payload hash
+    only_payload = l.select("cell", "spans")
+    try:
+        sj.salt_hot_cells(only_payload, r, threshold=100)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_unique_ids_skips_dedupe_exchange(spark, docs_df, sf_dir):
     """Round-1 verdict item: with row-unique ids the dropDuplicates
     exchange is provably dead — unique_ids=True must (a) produce the same

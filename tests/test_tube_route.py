@@ -366,3 +366,18 @@ def test_route_join_no_valid_routes(spark, events_df):
     out = tube.route_join(events_df, [dict(route_id="r1", wkt="POLYGON((oops")], 1000.0)
     assert out.count() == 0
     assert "route_id" in out.columns and "route_dist_m" in out.columns
+
+
+def test_route_join_fallback_schema_matches_normal_path(spark, events_df):
+    """Round-3 ADVICE: the empty-routes fallback used to omit the 'cell'
+    column the normal path carries, so a union across calls failed.  Both
+    branches must now return the SAME columns in the SAME order."""
+    normal = tube.route_join(
+        events_df, [dict(route_id="R1", wkt="LINESTRING(0 0, 1 1)")], 50_000.0
+    )
+    fallback = tube.route_join(
+        events_df, [dict(route_id="r1", wkt="POLYGON((oops")], 50_000.0
+    )
+    assert fallback.columns == normal.columns
+    # and the union is legal (types line up too)
+    assert normal.unionByName(fallback).count() == normal.count()

@@ -281,6 +281,19 @@ class TestXZ3Layout:
         }
         assert got < all_spatial
 
+    def test_time_range_without_time_col_raises(self, spark, layout):
+        """Round-3 ADVICE: time_range alone used to silently return a
+        bin-granular SUPERSET (up to a full 7-day bin of extra rows);
+        the coarse-only result must fail loudly instead."""
+        import pytest
+
+        rows, path = layout
+        with pytest.raises(ValueError, match="time_col"):
+            xz2.query_geoms(
+                spark, path, _box_wkt(-40, -40, 40, 40),
+                time_range=("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            )
+
 
 class TestGeomGeomJoin:
     def test_polygon_polygon_matches_bruteforce(self, spark):
