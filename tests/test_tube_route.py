@@ -148,6 +148,81 @@ class TestTrackHausdorff:
             assert out[(ua, ub)] == want, (ua, ub)
         assert out[(1, 2)] < out[(2, 1)]  # directedness
 
+    def test_pruned_matches_allpairs_on_100_tracks(self, spark):
+        """Round-3 verdict item 1 ("done" criterion): the cell-pruned plan
+        must be BIT-IDENTICAL to the all-pairs verify kernel on ≥100
+        tracks, and its physical plan must contain no BroadcastNestedLoop
+        or CartesianProduct node."""
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import (
+            track_hausdorff,
+            track_hausdorff_allpairs,
+        )
+
+        rng = np.random.default_rng(7)
+        n_tracks, pts_per = 100, 12
+        # clustered tracks (random walk around a random center) so the
+        # prune has real structure: near pairs, far pairs, overlapping
+        cx = rng.uniform(-170, 170, n_tracks)
+        cy = rng.uniform(-80, 80, n_tracks)
+        rows = []
+        for u in range(n_tracks):
+            walk = rng.normal(0, 2.0, (pts_per, 2)).cumsum(axis=0)
+            for i in range(pts_per):
+                rows.append(
+                    (u, u * pts_per + i,
+                     float(np.clip(cx[u] + walk[i, 0], -179.9, 179.9)),
+                     float(np.clip(cy[u] + walk[i, 1], -89.9, 89.9)))
+                )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_id", "lon", "lat"])
+        )
+        pruned = track_hausdorff(df)
+        got = {(r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"] for r in pruned.collect()}
+        want = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff_allpairs(df).collect()
+        }
+        assert len(got) == n_tracks * (n_tracks - 1)
+        assert got == want
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_pruned_auto_coarsens_wide_tracks(self, spark):
+        """A track spanning many fine cells must trigger the coarsening
+        loop (max_cells_per_track) and still match the brute force."""
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.operators.tube import (
+            track_hausdorff,
+            track_hausdorff_allpairs,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for u in range(4):
+            # globe-spanning scatter: ~50 distinct cells/track at res 5
+            for i in range(60):
+                rows.append(
+                    (u, u * 60 + i, float(rng.uniform(-179, 179)),
+                     float(rng.uniform(-89, 89)))
+                )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_id", "lon", "lat"])
+        )
+        got = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff(df, res=5, max_cells_per_track=16).collect()
+        }
+        want = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff_allpairs(df).collect()
+        }
+        assert got == want and len(got) == 12
+
 
 class TestGeofenceTransitions:
     def test_enter_exit_switch_and_priority(self, spark):

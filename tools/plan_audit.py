@@ -103,7 +103,26 @@ def main() -> None:
         q.q_spacetime_join(spark, sf_dir),
     )
 
+    th = q.q_track_hausdorff(spark, sf_dir)
+    plans["track_hausdorff"] = (
+        "Want: cell-pruned plan — summaries, bucket-replicated "
+        "BroadcastHashJoin pair stage, candidate equi-joins; NO "
+        "BroadcastNestedLoopJoin or CartesianProduct anywhere.",
+        plan_of(th),
+        th,
+    )
+
     import re
+
+    # REGRESSION GUARD (round-4): the trajectory-similarity plan must stay
+    # cell-pruned — a BroadcastNestedLoop/CartesianProduct node means the
+    # all-pairs point product crept back (round-3 verdict item 1).
+    th_text = plans["track_hausdorff"][1]
+    if "BroadcastNestedLoop" in th_text or "CartesianProduct" in th_text:
+        sys.exit(
+            "PLAN REGRESSION: track_hausdorff contains a nested-loop/"
+            "cartesian node (want: candidate equi-joins only)"
+        )
 
     # REGRESSION GUARD (round-3 split-explode design): the spacetime join
     # must shuffle each side ONCE and never re-exchange for a dedupe — a
