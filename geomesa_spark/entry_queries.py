@@ -285,6 +285,36 @@ def q_z3_bbox_time(spark, sf_dir):
     return out.select("event_id")
 
 
+def q_attr_index_scan(spark, sf_dir):
+    """Attribute-index path (round-3 verdict "What's missing" #1): events
+    written to an (attr_part, date_bin) hive layout — GeoMesa's
+    AttributeIndex key (lexicoded attribute + date secondary) as directory
+    pruning — then queried with attribute equality + a time range so BOTH
+    partition dimensions prune (plan-asserted in
+    tests/test_planner_lineage.py::TestAttrIndexedLayout).  Layout write =
+    the one-time ingest job, cached by content fingerprint like the Z3
+    twin."""
+    import os
+
+    from .plans import planner
+    from .sources.corpus import CACHE_DIR
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    fp = ev.agg(
+        F.count("*").alias("n"), F.sum(F.hash("event_id", "ts")).alias("h")
+    ).collect()[0]
+    path = os.path.join(
+        CACHE_DIR, f"attr_events_n{fp['n']}_h{(fp['h'] or 0) & 0xFFFFFFFF:x}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        planner.write_attr_partitioned(ev, path, "event_type", date_col="ts")
+    out = planner.scan_attr_partitioned(
+        spark, path, "event_type", eq="click",
+        date_range=("2024-01-08 00:00:00", "2024-01-15 00:00:00"), date_col="ts",
+    )
+    return out.select("event_id", "user_id")
+
+
 def q_spacetime_join(spark, sf_dir):
     """Large×large spatio-temporal co-location: event pairs within 150 km
     AND 48 h of each other — the composite (cell, time_bin) shuffle key
@@ -1104,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz2_poly_point_join": q_xz2_poly_point_join,
         "xz2_poly_poly_join": q_xz2_poly_poly_join,
         "z3_bbox_time": q_z3_bbox_time,
+        "attr_index_scan": q_attr_index_scan,
         "xz3_bbox_time": q_xz3_bbox_time,
         "st_sql_measures": q_st_sql_measures,
         "spacetime_join": q_spacetime_join,
@@ -1361,6 +1392,12 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat >= -60.005 AND p.lat <= 60.005
               AND e.ts >= TIMESTAMP '2024-01-08 00:00:00'
               AND e.ts < TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        "attr_index_scan": """
+            SELECT event_id, user_id FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts < TIMESTAMP '2024-01-15 00:00:00'
         """,
         "xz3_bbox_time": f"""
             WITH {_pts_cte()}
