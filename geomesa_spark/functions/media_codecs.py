@@ -119,6 +119,67 @@ def _png_chunks(data: bytes):
             break
 
 
+def _unfilter_012(fts: np.ndarray, rows: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Whole-image unfilter when every scanline uses filter 0/1/2 — no
+    per-row Python loop (round-3 verdict item 5: this was the engine's
+    slowest per-row path).
+
+    Filter 1 (Sub) rows have no inter-row dependency: per-lane horizontal
+    prefix sum.  Filter 2 (Up) rows form vertical RUNS broken by any 0/1
+    row: recon[r] = Σ rows'[start(r)..r] mod 256 — a segmented vertical
+    prefix sum, computed for ALL rows at once from one uint64 cumsum
+    (cs[r] - cs[start-1]; mod-256 survives the subtraction because cs is
+    columnwise non-decreasing)."""
+    rows = rows.copy()
+    m1 = fts == 1
+    if m1.any():
+        lanes = rows[m1].reshape(-1, w, c).astype(np.uint64)
+        rows[m1] = np.cumsum(lanes, axis=1).astype(np.uint8).reshape(-1, w * c)
+    m2 = fts == 2
+    if not m2.any():
+        return rows
+    cs = np.cumsum(rows.astype(np.uint64), axis=0)
+    starts = np.maximum.accumulate(np.where(~m2, np.arange(h), 0))
+    prev_cs = np.where((starts > 0)[:, None], cs[np.maximum(starts - 1, 0)], 0)
+    return (cs - prev_cs).astype(np.uint8)
+
+
+def _unfilter_row_avg(rowl: list, prevl: list, c: int) -> list:
+    """Filter 3 (Average): sequential left-dependency, plain-list loop —
+    ~4x the old numpy-scalar-indexing loop (no np.uint8 boxing per byte)."""
+    cur = [0] * len(rowl)
+    for i in range(c):
+        cur[i] = (rowl[i] + (prevl[i] >> 1)) & 0xFF
+    for i in range(c, len(rowl)):
+        cur[i] = (rowl[i] + ((cur[i - c] + prevl[i]) >> 1)) & 0xFF
+    return cur
+
+
+def _unfilter_row_paeth(rowl: list, prevl: list, c: int) -> list:
+    """Filter 4 (Paeth), spec predictor with the algebraic shortcuts
+    pa=|b-cc|, pb=|a-cc|, pc=|a+b-2cc| (p never materialized)."""
+    cur = [0] * len(rowl)
+    for i in range(c):
+        # a = cc = 0 → predictor resolves to b for any b
+        cur[i] = (rowl[i] + prevl[i]) & 0xFF
+    for i in range(c, len(rowl)):
+        a = cur[i - c]
+        b = prevl[i]
+        cc = prevl[i - c]
+        pa = b - cc
+        if pa < 0:
+            pa = -pa
+        pb = a - cc
+        if pb < 0:
+            pb = -pb
+        pc = a + b - cc - cc
+        if pc < 0:
+            pc = -pc
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+        cur[i] = (rowl[i] + pred) & 0xFF
+    return cur
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to uint8 (H, W, C)."""
     if not data.startswith(PNG_SIG):
@@ -142,39 +203,37 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    rr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts = rr[:, 0]
+    rows = rr[:, 1:]
+    if fts.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter byte {int(fts.max(initial=0))}")
+    if not np.any(fts >= 3):
+        # fully vectorized fast path (all-0, all-1, all-2, or any mix)
+        return _unfilter_012(fts, rows, h, w, c).reshape(h, w, c)
+    # general path: Average/Paeth rows carry a just-reconstructed-left
+    # dependency — inherently sequential along the row (list loop); 0/1/2
+    # rows in between stay vectorized
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        ft = raw[r * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        )
+        ft = int(fts[r])
+        row = rows[r]
         if ft == 0:
             cur = row.copy()
         elif ft == 2:
             cur = row + prev  # uint8 wraps = mod 256
         elif ft == 1:
-            # recon[i] = raw[i] + recon[i-bpp]: per-lane prefix sum mod 256
             lanes = row.reshape(w, c).astype(np.uint64)
             cur = np.cumsum(lanes, axis=0, dtype=np.uint64).astype(np.uint8).reshape(stride)
-        elif ft in (3, 4):
-            # Average/Paeth depend on the just-reconstructed left pixel —
-            # inherently sequential along the row; scalar loop (rows are
-            # short for the thumbnails this engine decodes)
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                a = int(cur[i - c]) if i >= c else 0
-                b = int(prev[i])
-                if ft == 3:
-                    pred = (a + b) >> 1
-                else:
-                    cc = int(prev[i - c]) if i >= c else 0
-                    p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                cur[i] = (int(row[i]) + pred) & 0xFF
+        elif ft == 3:
+            cur = np.asarray(
+                _unfilter_row_avg(row.tolist(), prev.tolist(), c), dtype=np.uint8
+            )
         else:
-            raise ValueError(f"bad PNG filter byte {ft}")
+            cur = np.asarray(
+                _unfilter_row_paeth(row.tolist(), prev.tolist(), c), dtype=np.uint8
+            )
         out[r] = cur
         prev = cur
     return out.reshape(h, w, c)

@@ -35,6 +35,38 @@ class TestPng:
         dec = mc.decode_png(mc.encode_png(img))
         assert dec.shape == (4, 6, 1)
 
+    @pytest.mark.parametrize(
+        "fts",
+        [
+            [0, 2, 2, 1, 2, 0, 2, 2],  # mixed 0/1/2: segmented-cumsum path
+            [2, 2, 0, 1, 2, 2, 2, 2],  # run starts with filter 2 (prev=0)
+            [0, 4, 2, 3, 1, 4, 3, 0],  # 3/4 interleaved: general path
+        ],
+    )
+    def test_mixed_filter_rows_decode(self, rng, fts):
+        """encode_png writes ONE filter for all rows, so the per-row-mixed
+        decode paths (round-4 vectorization) need a hand-built stream."""
+        import struct
+        import zlib
+
+        h, w, c = len(fts), 6, 3
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        flat = img.reshape(h, w * c)
+        parts = []
+        prev = np.zeros(w * c, dtype=np.uint8)
+        for r, ft in enumerate(fts):
+            parts.append(bytes([ft]))
+            parts.append(mc._filter_row(ft, flat[r], prev, c).tobytes())
+            prev = flat[r]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            mc.PNG_SIG
+            + mc._chunk(b"IHDR", ihdr)
+            + mc._chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + mc._chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.decode_png(data), img)
+
 
 class TestBmpPpm:
     @pytest.mark.parametrize("w", [1, 2, 3, 4, 5])
