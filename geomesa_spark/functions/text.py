@@ -132,6 +132,47 @@ def fingerprint_udf(window: int = 16):
     return fp
 
 
+def _gram_exprs(k: int, text_col: str) -> tuple[str, str]:
+    """Shared winnowing SQL fragments: whitespace-normalize and the k-gram
+    md5 hash array (first 16 hex chars — lexicographic min == numeric min
+    on fixed-width hex).  Used by :func:`winnow_fingerprints` (full set)
+    and :func:`min_fingerprints` (global min)."""
+    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    # array — docs shorter than k must be gated explicitly or they produce
+    # spurious grams from out-of-range substrings.
+    grams = (
+        f"CASE WHEN length(_norm) < {k} THEN array() ELSE "
+        f"transform(sequence(1, length(_norm) - {k} + 1), "
+        f"i -> substring(md5(substring(_norm, i, {k})), 1, 16)) END"
+    )
+    return norm, grams
+
+
+def min_fingerprints(
+    df: DataFrame, k: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ONE fingerprint per document: the global MIN of the k-gram md5
+    hashes — the w → ∞ limit of :func:`winnow_fingerprints`, and the
+    oracle-portable all-JVM twin of :func:`fingerprint_udf` (round-3
+    verdict item 6: the per-doc fingerprint query was rows-only; this
+    construction is plain SQL on both engines).  Docs shorter than ``k``
+    get NULL (one collision class of too-short docs, same both engines).
+
+    Returns (id_col, fp)."""
+    norm, grams = _gram_exprs(k, text_col)
+    return (
+        df.withColumn("_norm", F.expr(norm))
+        .withColumn("_grams", F.expr(grams))
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN size(_grams) = 0 THEN NULL ELSE array_min(_grams) END"
+            ).alias("fp"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 16,
@@ -156,15 +197,7 @@ def winnow_fingerprints(
 
     Returns (id_col, fp) rows; docs shorter than k yield none.
     """
-    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
-    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
-    # array — docs shorter than k must be gated explicitly or they produce
-    # spurious grams from out-of-range substrings.
-    grams = (
-        f"CASE WHEN length(_norm) < {k} THEN array() ELSE "
-        f"transform(sequence(1, length(_norm) - {k} + 1), "
-        f"i -> substring(md5(substring(_norm, i, {k})), 1, 16)) END"
-    )
+    norm, grams = _gram_exprs(k, text_col)
     fps = (
         f"CASE WHEN size(_grams) = 0 THEN array() ELSE "
         f"array_distinct(transform(sequence(1, greatest(size(_grams) - {w} + 1, 1)), "

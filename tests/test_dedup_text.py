@@ -150,6 +150,68 @@ def test_embedding_near_dup(spark):
     assert got == {(0, 40)}
 
 
+def test_embedding_near_dup_exact_planted_and_bruteforce(spark):
+    """Oracle-exact tier (round-3 verdict item 6): the integer pipeline
+    must (a) recall the planted near-identical pair (identical sketches in
+    every table, cos ≈ 1) and (b) report NO false positives vs the integer
+    brute-force predicate on the quantized vectors."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    v = base[0] + rng.normal(scale=0.003, size=32)
+    vecs.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(41)), "embedding": [v.astype(float).tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    # tau^2 = 9409/10000 -> tau = 0.97
+    out = dedup.embedding_near_dup_exact(
+        df, tau2_num=9409, tau2_den=10000, n_planes=6, n_tables=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 40) in got
+    # integer brute force over the same quantization: every reported pair
+    # must satisfy the exact predicate (LSH may MISS pairs, never invent)
+    q = [np.asarray([round(float(np.float32(x)) * 1e6) for x in vv], dtype=object) for vv in vecs]
+    for ia, ib in got:
+        num = int(sum(a * b for a, b in zip(q[ia], q[ib])))
+        na2 = int(sum(a * a for a in q[ia]))
+        nb2 = int(sum(b * b for b in q[ib]))
+        assert num > 0 and 10000 * num * num >= 9409 * na2 * nb2, (ia, ib)
+
+
+def test_embedding_near_dup_exact_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dup_exact(df)
+    assert out.count() == 0 and out.columns == ["id_a", "id_b"]
+
+
+def test_min_fingerprints_matches_numpy_construction(spark):
+    """min_fingerprints == MIN over the winnow_fingerprints set, and docs
+    shorter than k collapse into the NULL class."""
+    from geomesa_spark.functions.text import min_fingerprints, winnow_fingerprints
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup
+                "a completely different document body with other words",
+                "short",  # < k chars -> NULL fp
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r["fp"] for r in min_fingerprints(df, k=16).collect()}
+    full = winnow_fingerprints(df, k=16, w=32).toPandas()
+    for d in (1, 2, 3):
+        assert got[d] == full[full["doc_id"] == d]["fp"].min()
+    assert got[1] == got[2] and got[1] != got[3]
+    assert got[4] is None
+
+
 def test_quality_and_lang(spark):
     pdf = pd.DataFrame(
         {
