@@ -39,6 +39,43 @@ _POINT_LIT_RE = re.compile(
 _NUM_TAIL_RE = re.compile(r",\s*([-+0-9.eE]+)D?\s*$")
 
 
+#: timestamp literal, with or without the TIMESTAMP keyword
+_TS_LIT = r"(?:TIMESTAMP\s+)?'([0-9][0-9:\-. ]*)'"
+
+
+def _find_time_bounds(query: str, time_col: str) -> tuple[str | None, str | None]:
+    """Literal bounds on ``time_col`` from top-level-conjunct-style
+    comparisons: ``col >= 'lit'`` / ``col < TIMESTAMP 'lit'`` /
+    ``col BETWEEN 'a' AND 'b'``.  Returns the TIGHTEST (lo, hi) seen —
+    multiple conjuncts intersect.  Callers gate on the same NOT/OR
+    rejection as the spatial path, and the bin filter derived from these
+    bounds only PRUNES (the original predicate stays in the query), so a
+    missed pattern degrades to a wider scan, never a wrong answer."""
+    los: list[str] = []
+    his: list[str] = []
+    for op, lit in re.findall(
+        rf"\b{re.escape(time_col)}\s*(>=|>|<=|<)\s*{_TS_LIT}", query, re.IGNORECASE
+    ):
+        (los if op in (">=", ">") else his).append(lit)
+    for lo, hi in re.findall(
+        rf"\b{re.escape(time_col)}\s+BETWEEN\s+{_TS_LIT}\s+AND\s+{_TS_LIT}",
+        query,
+        re.IGNORECASE,
+    ):
+        los.append(lo)
+        his.append(hi)
+    return (max(los) if los else None, min(his) if his else None)
+
+
+def _no_disjunction(query: str) -> bool:
+    """Soundness gate (round-1 advice): pruning is only valid when the
+    predicates are top-level CONJUNCTS.  ``NOT p`` or ``p OR q`` selects
+    rows OUTSIDE the pruned region, so any NOT/OR token disables pruning —
+    conservative (full scan) but never a wrong answer.  (ORDER BY does not
+    match the \\bOR\\b word boundary.)"""
+    return not re.search(r"\bNOT\b|\bOR\b", query, re.IGNORECASE)
+
+
 def _find_dwithin(query: str) -> list[tuple[float, float, float]]:
     """All st_dwithin(...) calls whose args contain a literal st_point and
     a trailing numeric radius — either argument order."""
@@ -70,21 +107,24 @@ class SqlEngine:
         st_funcs.register(spark)
 
     def register_parquet(
-        self, name: str, path: str, res: int = 10, bucket_res: int = planner.BUCKET_RES
+        self, name: str, path: str, res: int = 10, bucket_res: int = planner.BUCKET_RES,
+        time_col: str | None = None, time_bin_days: int = planner.TIME_BIN_DAYS,
     ) -> None:
         """Register a cell-partitioned layout (planner.write_partitioned
-        output) as a SQL table eligible for pushdown."""
-        self._tables[name] = dict(path=path, res=res, bucket_res=bucket_res)
+        output) as a SQL table eligible for pushdown.  With ``time_col``
+        (a layout written with the Z3-style ``time_bin`` dirs), literal
+        time-window conjuncts on that column prune the ``time_bin``
+        partition dimension too — ``st_dwithin(...) AND ts >= .. AND
+        ts < ..`` gets the composite (cell_bucket, time_bin) plan
+        (round-3 verdict item 7)."""
+        self._tables[name] = dict(
+            path=path, res=res, bucket_res=bucket_res,
+            time_col=time_col, time_bin_days=time_bin_days,
+        )
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def _covers_from_query(self, query: str, bucket_res: int) -> np.ndarray | None:
-        # Soundness gate (round-1 advice): pruning is only valid when the
-        # spatial predicate is a top-level CONJUNCT.  `NOT st_contains(...)`
-        # or `st_contains(...) OR other` selects rows OUTSIDE the cover, so
-        # any NOT/OR token in the query disables pruning — conservative
-        # (full scan) but never a wrong answer.  (ORDER BY does not match
-        # the \bOR\b word boundary.)
-        if re.search(r"\bNOT\b|\bOR\b", query, re.IGNORECASE):
+        if not _no_disjunction(query):
             return None
         buckets = []
         for _, wkt_text in _PRED_RE.findall(query):
@@ -117,11 +157,18 @@ class SqlEngine:
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
             cover = self._covers_from_query(query, meta["bucket_res"])
-            if cover is None:
+            bins = self._bins_from_query(query, meta)
+            if cover is None and bins is None:
                 continue
-            df = self.spark.read.parquet(meta["path"]).filter(
-                F.col("cell_bucket").isin([int(b) for b in cover])
-            )
+            df = self.spark.read.parquet(meta["path"])
+            if cover is not None:
+                df = df.filter(F.col("cell_bucket").isin([int(b) for b in cover]))
+            if bins is not None:
+                b0, b1 = bins
+                if b0 is not None:
+                    df = df.filter(F.col("time_bin") >= b0)
+                if b1 is not None:
+                    df = df.filter(F.col("time_bin") <= b1)
             df.createOrReplaceTempView(name)
             pruned.append(name)
         try:
@@ -131,11 +178,39 @@ class SqlEngine:
             for name in pruned:
                 self.spark.read.parquet(self._tables[name]["path"]).createOrReplaceTempView(name)
 
+    def _bins_from_query(
+        self, query: str, meta: dict
+    ) -> tuple[int | None, int | None] | None:
+        """time_bin bounds for a time-aware layout, or None when the query
+        carries no literal window / the table has none / NOT-OR appears.
+        The bin filter only removes bins FULLY outside the window (floor
+        division both ends) — the exact predicate in the query refines."""
+        if not meta.get("time_col") or not _no_disjunction(query):
+            return None
+        lo, hi = _find_time_bounds(query, meta["time_col"])
+        if lo is None and hi is None:
+            return None
+        import pandas as pd
+
+        width = 86400 * meta["time_bin_days"]
+        b0 = int(pd.Timestamp(lo).timestamp()) // width if lo else None
+        b1 = int(pd.Timestamp(hi).timestamp()) // width if hi else None
+        return (b0, b1)
+
     def explain_pruning(self, query: str) -> dict[str, int]:
-        """How many buckets each registered table would scan (diagnostics)."""
+        """How many buckets each registered table would scan (diagnostics);
+        time-aware tables get a second ``<name>:time_bins`` entry with the
+        pruned bin-range width (-1 = no time pruning)."""
         out = {}
         for name, meta in self._tables.items():
             if re.search(rf"\b{re.escape(name)}\b", query):
                 cover = self._covers_from_query(query, meta["bucket_res"])
                 out[name] = -1 if cover is None else len(cover)
+                if meta.get("time_col"):
+                    bins = self._bins_from_query(query, meta)
+                    out[f"{name}:time_bins"] = (
+                        -1
+                        if bins is None or None in bins
+                        else bins[1] - bins[0] + 1
+                    )
         return out

@@ -100,3 +100,68 @@ def test_order_by_does_not_disable_pruning(spark, engine):
       ORDER BY doc_id
     """
     assert engine.explain_pruning(q)["geo_docs"] > 0
+
+
+class TestSpacetimePushdown:
+    """Round-3 verdict item 7: st_dwithin AND a literal time window over a
+    time-binned layout must prune BOTH partition dimensions (the composite
+    (cell_bucket, time_bin) plan), with the exact predicates refining."""
+
+    @pytest.fixture(scope="class")
+    def st_engine(self, spark, sf_dir, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        path = str(tmp_path_factory.mktemp("sqlst") / "events_pts")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            "ts",
+            F.expr("((event_id * 9973) % 36000) / 100.0 - 180.0").alias("lon"),
+            F.expr("((event_id * 7919) % 17000) / 100.0 - 85.0").alias("lat"),
+        )
+        planner.write_partitioned(ev, path, res=10, time_col="ts")
+        eng = sql_rewrite.SqlEngine(spark)
+        eng.register_parquet("geo_events", path, res=10, time_col="ts")
+        return eng
+
+    Q = """
+      SELECT event_id FROM geo_events
+      WHERE st_dwithin(st_point(lon, lat), st_point(15.0D, 15.0D), 2000000.0D)
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    """
+
+    def test_equality_with_full_scan(self, spark, st_engine):
+        pruned = {r["event_id"] for r in st_engine.sql(self.Q).collect()}
+        full = {r["event_id"] for r in spark.sql(self.Q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_both_dimensions_prune(self, spark, st_engine):
+        stats = st_engine.explain_pruning(self.Q)
+        path = st_engine._tables["geo_events"]["path"]
+        full = spark.read.parquet(path)
+        n_buckets = full.select("cell_bucket").distinct().count()
+        n_bins = full.select("time_bin").distinct().count()
+        assert 0 < stats["geo_events"] < n_buckets
+        assert 0 < stats["geo_events:time_bins"] < n_bins
+
+    def test_time_only_window_prunes(self, spark, st_engine):
+        q = """
+          SELECT count(*) AS n FROM geo_events
+          WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                       AND TIMESTAMP '2024-01-14 23:59:59'
+        """
+        stats = st_engine.explain_pruning(q)
+        assert stats["geo_events:time_bins"] > 0
+        n = st_engine.sql(q).collect()[0]["n"]
+        full = spark.sql(q).collect()[0]["n"]
+        assert n == full and n > 0
+
+    def test_or_disables_time_pruning(self, spark, st_engine):
+        q = """
+          SELECT event_id FROM geo_events
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' OR event_id = 1
+        """
+        assert st_engine.explain_pruning(q)["geo_events:time_bins"] == -1
+        got = {r["event_id"] for r in st_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
