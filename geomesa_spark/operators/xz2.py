@@ -99,12 +99,32 @@ def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
     """Driver/executor-shared key computation for ONE geometry: parse,
     antimeridian-split, common natural level over parts, distinct corner
     cells.  Unparseable / empty → [] (row is skipped, never a crash)."""
+    return _keys_and_bbox(geom_wkt, max_res)[0]
+
+
+#: loose-bbox padding in degrees — covers the 1e-6 m on-line tolerance of
+#: the linestring refine (≈1e-11°) with margin; padding only LOOSENS the
+#: prefilter, so completeness never depends on it being tight
+_BBOX_EPS = 1e-9
+
+
+def _keys_and_bbox(
+    geom_wkt: str | None, max_res: int
+) -> tuple[list[tuple[int, int]], tuple[float, float, float, float] | None]:
+    """(keys, overall bbox) in ONE parse.  The bbox feeds the codegen
+    loose-bbox prefilter (GeoMesa's loose-then-exact filter split):
+    candidates outside it never cross the Arrow boundary into the exact
+    refine.  Antimeridian-split parts union into one box — loose for
+    wrap-around geometries but always sound."""
     g = wkt.parse_wkt(geom_wkt)
     if g is None:
-        return []
+        return [], None
     if g.kind == wkt.WKB_POINT:
         c = cells.encode(np.asarray([g.coords[0]]), np.asarray([g.coords[1]]), max_res)
-        return [] if c[0] < 0 else [(max_res, int(c[0]))]
+        if c[0] < 0:
+            return [], None
+        x, y = float(g.coords[0]), float(g.coords[1])
+        return [(max_res, int(c[0]))], (x, y, x, y)
     parts = []
     for poly in _flatten_parts(g):
         parts.extend(wkt.antimeridian_split(poly) if poly.kind == wkt.WKB_POLYGON else [poly])
@@ -119,49 +139,84 @@ def geometry_keys(geom_wkt: str | None, max_res: int) -> list[tuple[int, int]]:
             xy = np.asarray(p.coords, dtype=np.float64)
             boxes.append((xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()))
         else:
-            return []
+            return [], None
     if not boxes:
-        return []
+        return [], None
     ws = np.asarray([b[2] - b[0] for b in boxes])
     hs = np.asarray([b[3] - b[1] for b in boxes])
     level = int(bbox_level(ws, hs, max_res).min())
     cs: set[int] = set()
     for b in boxes:
         cs.update(int(c) for c in _bbox_corner_cells(b[0], b[1], b[2], b[3], level))
-    return [(level, c) for c in sorted(cs)]
+    bbox = (
+        float(min(b[0] for b in boxes)),
+        float(min(b[1] for b in boxes)),
+        float(max(b[2] for b in boxes)),
+        float(max(b[3] for b in boxes)),
+    )
+    return [(level, c) for c in sorted(cs)], bbox
 
 
-def geometry_keys_udf(max_res: int = DEFAULT_MAX_RES):
-    """Arrow-batched (wkt) → array<struct<xz_level, xz_cell>>."""
+#: key struct extended with the geometry's loose bbox (padded by
+#: _BBOX_EPS) so joins can prefilter candidates in whole-stage codegen
+#: before anything crosses the Arrow boundary
+KEYS_BBOX_TYPE = (
+    "array<struct<xz_level:int,xz_cell:long,"
+    "xz_minx:double,xz_miny:double,xz_maxx:double,xz_maxy:double>>"
+)
 
-    @F.pandas_udf(KEYS_TYPE)
+
+def geometry_keys_udf(max_res: int = DEFAULT_MAX_RES, with_bbox: bool = False):
+    """Arrow-batched (wkt) → array<struct<xz_level, xz_cell[, bbox]>>."""
+
+    @F.pandas_udf(KEYS_BBOX_TYPE if with_bbox else KEYS_TYPE)
     def keys(wkt_s: pd.Series) -> pd.Series:
         out = []
         # parse each DISTINCT wkt once per batch (covers skewed tables
         # where one geometry repeats)
         codes, uniques = pd.factorize(wkt_s, use_na_sentinel=True)
-        per_unique = [geometry_keys(u, max_res) for u in uniques]
+        per_unique = [_keys_and_bbox(u, max_res) for u in uniques]
         for c in codes:
-            ks = per_unique[c] if c >= 0 else []
-            out.append([{"xz_level": lv, "xz_cell": cc} for lv, cc in ks])
+            ks, bb = per_unique[c] if c >= 0 else ([], None)
+            if with_bbox:
+                out.append(
+                    [
+                        {
+                            "xz_level": lv, "xz_cell": cc,
+                            "xz_minx": bb[0] - _BBOX_EPS, "xz_miny": bb[1] - _BBOX_EPS,
+                            "xz_maxx": bb[2] + _BBOX_EPS, "xz_maxy": bb[3] + _BBOX_EPS,
+                        }
+                        for lv, cc in ks
+                    ]
+                )
+            else:
+                out.append([{"xz_level": lv, "xz_cell": cc} for lv, cc in ks])
         return pd.Series(out)
 
     return keys
 
 
 def encode_geometries(
-    geoms: DataFrame, wkt_col: str = "wkt", max_res: int = DEFAULT_MAX_RES
+    geoms: DataFrame, wkt_col: str = "wkt", max_res: int = DEFAULT_MAX_RES,
+    with_bbox: bool = False,
 ) -> DataFrame:
     """Geometry table → one row per (geometry, key): adds ``xz_level`` and
-    ``xz_cell``.  ≤4 rows per geometry (≤8 if antimeridian-split).  Rows
-    with unparseable geometry drop out (inner explode of [])."""
-    keyed = geoms.withColumn("_xz_keys", geometry_keys_udf(max_res)(F.col(wkt_col)))
-    return (
+    ``xz_cell`` (plus ``xz_minx..xz_maxy`` loose-bbox columns when
+    ``with_bbox`` — the joins' codegen prefilter).  ≤4 rows per geometry
+    (≤8 if antimeridian-split).  Rows with unparseable geometry drop out
+    (inner explode of [])."""
+    keyed = geoms.withColumn(
+        "_xz_keys", geometry_keys_udf(max_res, with_bbox)(F.col(wkt_col))
+    )
+    d = (
         keyed.select("*", F.explode("_xz_keys").alias("_xz"))
         .withColumn("xz_level", F.col("_xz.xz_level"))
         .withColumn("xz_cell", F.col("_xz.xz_cell"))
-        .drop("_xz", "_xz_keys")
     )
+    if with_bbox:
+        for c in ("xz_minx", "xz_miny", "xz_maxx", "xz_maxy"):
+            d = d.withColumn(c, F.col(f"_xz.{c}"))
+    return d.drop("_xz", "_xz_keys")
 
 
 def point_level_keys(
@@ -210,6 +265,12 @@ def pip_refine_udf(predicate: str = "intersects"):
     on-line up to float noise); contains additionally excludes the two
     endpoints (line boundary)."""
     pred = predicate
+    # per-WORKER parse cache: the closure survives across Arrow batches
+    # (and reused worker processes), so each distinct WKT parses once per
+    # worker instead of once per batch — at 14M candidates in ~10k-row
+    # batches the per-batch reparse was a double-digit share of the whole
+    # join (round-4 scaling sweep).  Bounded: cleared past 200k entries.
+    parsed: dict[str, object] = {}
 
     @F.pandas_udf("boolean")
     def refine(wkt_s: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -217,6 +278,8 @@ def pip_refine_udf(predicate: str = "intersects"):
         lats = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         out = np.zeros(len(lons), dtype=bool)
         codes, uniques = pd.factorize(wkt_s, use_na_sentinel=True)
+        if len(parsed) > 200_000:
+            parsed.clear()
 
         def hit_of(g: wkt.Geometry, gl: np.ndarray, gt: np.ndarray) -> np.ndarray:
             hit = np.zeros(len(gl), dtype=bool)
@@ -271,7 +334,10 @@ def pip_refine_udf(predicate: str = "intersects"):
 
         for ui, w in enumerate(uniques):
             m = codes == ui
-            g = wkt.parse_wkt(w)
+            if w in parsed:
+                g = parsed[w]
+            else:
+                g = parsed[w] = wkt.parse_wkt(w)
             if g is None:
                 continue
             out[m] = hit_of(g, lons[m], lats[m])
@@ -300,7 +366,10 @@ def xz2_join_points(
 
     Output: all columns of both inputs (minus the key columns).
     """
-    clash = (set(geoms.columns) & set(points.columns)) - {wkt_col}
+    reserved = {"xz_level", "xz_cell", "xz_minx", "xz_miny", "xz_maxx", "xz_maxy"}
+    clash = ((set(geoms.columns) & set(points.columns)) - {wkt_col}) | (
+        reserved & (set(geoms.columns) | set(points.columns))
+    )
     if clash:
         raise ValueError(
             f"column name collision between geoms and points: {sorted(clash)} "
@@ -311,14 +380,27 @@ def xz2_join_points(
     # frees this cache (no unbounded leak across repeated calls)
     from ..cache import swap_cache
 
-    g = swap_cache("xz2_join_points.geoms", encode_geometries(geoms, wkt_col, max_res))
+    g = swap_cache(
+        "xz2_join_points.geoms",
+        encode_geometries(geoms, wkt_col, max_res, with_bbox=True),
+    )
     levels = [r[0] for r in g.select("xz_level").distinct().collect()]
     p = point_level_keys(points, levels, max_res, lon, lat)
     joined = p.join(g, ["xz_level", "xz_cell"], "inner")
+    # loose-bbox prefilter in whole-stage codegen (round-4): a point can
+    # only satisfy intersects/contains/covers if it lies in the geometry's
+    # (eps-padded) bbox — same-cell non-overlapping candidates die here
+    # instead of crossing the Arrow boundary into the exact refine
+    joined = joined.filter(
+        (F.col(lon) >= F.col("xz_minx")) & (F.col(lon) <= F.col("xz_maxx"))
+        & (F.col(lat) >= F.col("xz_miny")) & (F.col(lat) <= F.col("xz_maxy"))
+    )
     refined = joined.filter(
         pip_refine_udf(predicate)(F.col(wkt_col), F.col(lon), F.col(lat))
     )
-    return refined.drop("xz_level", "xz_cell")
+    return refined.drop(
+        "xz_level", "xz_cell", "xz_minx", "xz_miny", "xz_maxx", "xz_maxy"
+    )
 
 
 def geom_refine_udf(predicate: str = "intersects"):
@@ -329,13 +411,23 @@ def geom_refine_udf(predicate: str = "intersects"):
     from ..geo import relate
 
     pred = predicate
+    # per-worker parse cache across batches (see pip_refine_udf)
+    parsed: dict[str, object] = {}
+
+    def _parse(w):
+        if w in parsed:
+            return parsed[w]
+        g = parsed[w] = wkt.parse_wkt(w)
+        return g
 
     @F.pandas_udf("boolean")
     def refine(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        if len(parsed) > 200_000:
+            parsed.clear()
         ca, ua = pd.factorize(wa, use_na_sentinel=True)
         cb, ub = pd.factorize(wb, use_na_sentinel=True)
-        pa = [wkt.parse_wkt(w) for w in ua]
-        pb = [wkt.parse_wkt(w) for w in ub]
+        pa = [_parse(w) for w in ua]
+        pb = [_parse(w) for w in ub]
         out = []
         for ia, ib in zip(ca, cb):
             ga = pa[ia] if ia >= 0 else None
@@ -377,14 +469,18 @@ def xz2_join_geoms(
 
     a = swap_cache(
         "xz2_join_geoms.a",
-        encode_geometries(geoms_a, wkt_a, max_res).withColumnsRenamed(
-            {"xz_level": "la", "xz_cell": "ca"}
+        encode_geometries(geoms_a, wkt_a, max_res, with_bbox=True).withColumnsRenamed(
+            {"xz_level": "la", "xz_cell": "ca",
+             "xz_minx": "amnx", "xz_miny": "amny",
+             "xz_maxx": "amxx", "xz_maxy": "amxy"}
         ),
     )
     b = swap_cache(
         "xz2_join_geoms.b",
-        encode_geometries(geoms_b, wkt_b, max_res).withColumnsRenamed(
-            {"xz_level": "lb", "xz_cell": "cb"}
+        encode_geometries(geoms_b, wkt_b, max_res, with_bbox=True).withColumnsRenamed(
+            {"xz_level": "lb", "xz_cell": "cb",
+             "xz_minx": "bmnx", "xz_miny": "bmny",
+             "xz_maxx": "bmxx", "xz_maxy": "bmxy"}
         ),
     )
     levels_b = sorted(r[0] for r in b.select("lb").distinct().collect())
@@ -416,8 +512,18 @@ def xz2_join_geoms(
 
     cols = [c for c in cand1.columns if c not in ("lvl", "cell")]
     cand = cand1.select(*cols).unionByName(cand2.select(*cols))
+    # loose-bbox-overlap prefilter in codegen BEFORE the dedupe exchange
+    # and the Arrow refine (round-4): any intersects/contains pair has
+    # overlapping (eps-padded) bboxes, so same-cell non-overlapping
+    # candidates never shuffle or cross into Python
+    cand = cand.filter(
+        (F.col("amnx") <= F.col("bmxx")) & (F.col("amxx") >= F.col("bmnx"))
+        & (F.col("amny") <= F.col("bmxy")) & (F.col("amxy") >= F.col("bmny"))
+    )
     cand = cand.dropDuplicates([id_a, id_b])
-    return cand.filter(geom_refine_udf(predicate)(F.col(wkt_a), F.col(wkt_b)))
+    return cand.filter(geom_refine_udf(predicate)(F.col(wkt_a), F.col(wkt_b))).drop(
+        "amnx", "amny", "amxx", "amxy", "bmnx", "bmny", "bmxx", "bmxy"
+    )
 
 
 # ---------------------------------------------------------------------------

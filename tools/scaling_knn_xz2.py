@@ -46,7 +46,10 @@ if n_exec > 0:
     )
 else:
     spark = get_spark("scaling-kx", cores=cores, shuffle_partitions=cores)
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+# 1 MB splits: the synthetic table is a few tens of MB — at the 8 MB
+# default it yields fewer splits than 8 cores and the pre-shuffle stages
+# cap at the split count, not the fleet (same rationale as bench.py)
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
 spark.conf.set("spark.sql.files.openCostInBytes", "0")
 entry_mod._ship_package(spark)
 
@@ -137,9 +140,10 @@ elif job_name == "xz2":
 
     def floor_job():
         # shuffle-pass floor (same probe as scaling_spacetime): fan rows
-        # out 4x, hash-repartition through one exchange
-        u = pts.withColumn("r", FF.explode(FF.sequence(FF.lit(0), FF.lit(3))))
-        u = u.withColumn("k", FF.col("event_id") * 4 + FF.col("r"))
+        # out 32x (64M narrow rows) so the probe is throughput-dominated
+        # (tens of seconds), not stage-overhead dominated
+        u = pts.withColumn("r", FF.explode(FF.sequence(FF.lit(0), FF.lit(31))))
+        u = u.withColumn("k", FF.col("event_id") * 32 + FF.col("r"))
         return u.repartition(cores, "k").count()
 
 else:
@@ -185,8 +189,11 @@ def main() -> None:
     args = ap.parse_args()
     if not args.n:
         # sized so the 2-core run is throughput-dominated (tens of
-        # seconds), not stage-overhead dominated
-        args.n = {"knn": 40_000_000, "xz2": 8_000_000}[args.job]
+        # seconds), not stage-overhead dominated.  xz2 candidate volume
+        # grows ~n²/2048 (every point meets every same-cell box): 2M pts
+        # × 54k boxes ≈ 53M refine candidates ≈ 30-60 s at 2 cores — 8M
+        # was measured at >40 min, hopeless as a sweep unit.
+        args.n = {"knn": 40_000_000, "xz2": 2_000_000}[args.job]
 
     sys.path.insert(0, REPO)
     from geomesa_spark.sources import corpus
