@@ -344,3 +344,64 @@ class TestGeomGeomJoin:
         assert got == {"in"}
         got_i = {r["gid_b"] for r in xz2.xz2_join_geoms(ga, gb, "intersects").collect()}
         assert got_i == {"in", "cross"}
+
+
+class TestBboxPrefilterBoundary:
+    """The round-4 loose-bbox codegen prefilter must never reject a
+    true hit: points exactly ON a geometry's bbox edge/vertex and
+    polygon pairs that touch only along an edge sit at the prefilter's
+    >=/<= boundary (the eps padding exists for float noise, but the
+    exact-equality case must pass without it)."""
+
+    def test_point_on_bbox_edges_and_vertices(self, spark):
+        geoms = spark.createDataFrame(
+            pd.DataFrame([("G", _box_wkt(0, 0, 10, 10))], columns=["geom_id", "wkt"])
+        )
+        pts = pd.DataFrame({
+            "point_id": [0, 1, 2, 3, 4, 5],
+            "lon": [0.0, 10.0, 5.0, 0.0, 10.0, 10.000001],
+            "lat": [0.0, 10.0, 0.0, 5.0, 5.0, 5.0],
+        })
+        out = xz2.xz2_join_points(geoms, spark.createDataFrame(pts), "intersects")
+        got = {r["point_id"] for r in out.collect()}
+        assert got == {0, 1, 2, 3, 4}  # all boundary points kept, outside dropped
+
+    def test_edge_touching_polygons_survive_overlap_prefilter(self, spark):
+        # B shares exactly one edge (x=10) with A: bbox overlap is a
+        # zero-area line, i.e. amxx == bmnx — the >= must keep it
+        ga = spark.createDataFrame(
+            pd.DataFrame([("A", _box_wkt(0, 0, 10, 10))], columns=["gid_a", "wkt_a"])
+        )
+        gb = spark.createDataFrame(
+            pd.DataFrame(
+                [("touch", _box_wkt(10, 0, 20, 10)), ("corner", _box_wkt(10, 10, 20, 20)),
+                 ("apart", _box_wkt(10.1, 0, 20, 10))],
+                columns=["gid_b", "wkt_b"],
+            )
+        )
+        got = {r["gid_b"] for r in xz2.xz2_join_geoms(ga, gb, "intersects").collect()}
+        assert got == {"touch", "corner"}
+
+    def test_prefilter_stays_jvm_side(self, spark):
+        # mirror of the tools/plan_audit.py guard: the bbox test must sit
+        # in a codegen join condition / Filter, and the bbox columns must
+        # not leak into the output schema
+        import re
+
+        geoms = spark.createDataFrame(
+            pd.DataFrame([("G", _box_wkt(0, 0, 10, 10))], columns=["geom_id", "wkt"])
+        )
+        pts = spark.createDataFrame(
+            pd.DataFrame({"point_id": [0], "lon": [5.0], "lat": [5.0]})
+        )
+        out = xz2.xz2_join_points(geoms, pts, "intersects")
+        assert not {"xz_minx", "xz_maxy", "xz_level", "xz_cell"} & set(out.columns)
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        assert re.search(
+            r"^(?:Join condition:|Condition :) .*xz_minx", buf.getvalue(), re.M
+        )

@@ -64,7 +64,9 @@ def main() -> None:
 
     plans["xz2_poly_point_join"] = (
         "Want: one shuffle pair on (xz_level, xz_cell), no dedupe exchange, "
-        "point ancestor keys as codegen'd shifts.",
+        "point ancestor keys as codegen'd shifts, loose-bbox prefilter "
+        "INSIDE the join condition (candidates outside the geometry bbox "
+        "never reach the Arrow refine).",
         plan_of(q.q_xz2_poly_point_join(spark, sf_dir)),
         q.q_xz2_poly_point_join(spark, sf_dir),
     )
@@ -122,6 +124,19 @@ def main() -> None:
         sys.exit(
             "PLAN REGRESSION: track_hausdorff contains a nested-loop/"
             "cartesian node (want: candidate equi-joins only)"
+        )
+
+    # REGRESSION GUARD (round-4 loose-bbox prefilter): the XZ2 poly-point
+    # join's bbox test must stay JVM-side, pushed into the join condition
+    # (or at worst a codegen Filter) BELOW the Arrow refine — if xz_minx
+    # vanishes from join/filter nodes the prefilter was dropped and every
+    # same-cell candidate crosses into Python again.
+    xz_text = plans["xz2_poly_point_join"][1]
+    if not re.search(r"^(?:Join condition:|Condition :) .*xz_minx", xz_text, re.M):
+        sys.exit(
+            "PLAN REGRESSION: xz2_poly_point_join carries no loose-bbox "
+            "prefilter in any join condition or Filter (want: xz_minx.. "
+            "bounds tested in codegen before the Arrow refine)"
         )
 
     # REGRESSION GUARD (round-3 split-explode design): the spacetime join
