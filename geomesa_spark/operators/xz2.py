@@ -467,6 +467,23 @@ def xz2_join_geoms(
     """
     from ..cache import swap_cache
 
+    # same latent-API guard as xz2_join_points: the join's internal key /
+    # bbox / ancestor columns must not collide with user columns, and the
+    # two sides' payload columns must be disjoint (both survive the join)
+    reserved = {
+        "la", "ca", "lb", "cb", "lvl", "cell", "_anc", "_k",
+        "amnx", "amny", "amxx", "amxy", "bmnx", "bmny", "bmxx", "bmxy",
+        "xz_level", "xz_cell", "xz_minx", "xz_miny", "xz_maxx", "xz_maxy",
+    }
+    cols_a, cols_b = set(geoms_a.columns), set(geoms_b.columns)
+    clash = (reserved & (cols_a | cols_b)) | (cols_a & cols_b)
+    if clash:
+        raise ValueError(
+            f"column name collision in xz2_join_geoms: {sorted(clash)} "
+            f"(rename: the sides' columns must be disjoint and avoid the "
+            f"join's internal key/bbox names)"
+        )
+
     a = swap_cache(
         "xz2_join_geoms.a",
         encode_geometries(geoms_a, wkt_a, max_res, with_bbox=True).withColumnsRenamed(

@@ -346,6 +346,25 @@ class TestGeomGeomJoin:
         assert got_i == {"in", "cross"}
 
 
+class TestGeomGeomClashGuard:
+    def test_reserved_and_shared_columns_rejected(self, spark):
+        ga = spark.createDataFrame(
+            pd.DataFrame([("A", _box_wkt(0, 0, 10, 10), 1)],
+                         columns=["gid_a", "wkt_a", "amnx"])
+        )
+        gb = spark.createDataFrame(
+            pd.DataFrame([("B", _box_wkt(0, 0, 10, 10))], columns=["gid_b", "wkt_b"])
+        )
+        with pytest.raises(ValueError, match="amnx"):
+            xz2.xz2_join_geoms(ga, gb)
+        shared = spark.createDataFrame(
+            pd.DataFrame([("B", _box_wkt(0, 0, 10, 10), 2)],
+                         columns=["gid_b", "wkt_b", "tag"])
+        )
+        with pytest.raises(ValueError, match="tag"):
+            xz2.xz2_join_geoms(ga.withColumnRenamed("amnx", "tag"), shared)
+
+
 class TestBboxPrefilterBoundary:
     """The round-4 loose-bbox codegen prefilter must never reject a
     true hit: points exactly ON a geometry's bbox edge/vertex and
