@@ -76,10 +76,16 @@ def _no_disjunction(query: str) -> bool:
     return not re.search(r"\bNOT\b|\bOR\b", query, re.IGNORECASE)
 
 
-def _find_dwithin(query: str) -> list[tuple[float, float, float]]:
-    """All st_dwithin(...) calls whose args contain a literal st_point and
-    a trailing numeric radius — either argument order."""
-    out = []
+_GFW_RE = re.compile(r"st_geomFromWKT\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+
+
+def _find_dwithin(query: str) -> list[tuple]:
+    """All st_dwithin(...) calls with a trailing numeric radius and a
+    literal geometry — either a literal ``st_point(x, y)`` (→
+    ``("point", lon, lat, r)``) or a literal ``st_geomFromWKT('…')`` (→
+    ``("wkt", text, r)``, the tube/route corridor pattern), in either
+    argument order."""
+    out: list[tuple] = []
     for m in re.finditer(r"st_dwithin\s*\(", query, re.IGNORECASE):
         depth, i = 1, m.end()
         while i < len(query) and depth:
@@ -89,11 +95,58 @@ def _find_dwithin(query: str) -> list[tuple[float, float, float]]:
                 depth -= 1
             i += 1
         args = query[m.end() : i - 1]
-        pt = _POINT_LIT_RE.search(args)
         rad = _NUM_TAIL_RE.search(args.rstrip())
-        if pt and rad:
-            out.append((float(pt.group(1)), float(pt.group(2)), float(rad.group(1))))
+        if not rad:
+            continue
+        pt = _POINT_LIT_RE.search(args)
+        if pt:
+            out.append(("point", float(pt.group(1)), float(pt.group(2)), float(rad.group(1))))
+            continue
+        gw = _GFW_RE.search(args)
+        if gw:
+            out.append(("wkt", gw.group(1), float(rad.group(1))))
     return out
+
+
+def _corridor_cover(wkt_text: str, meters: float, bucket_res: int) -> np.ndarray | None:
+    """Bucket cover of a literal geometry dilated by ``meters`` — the
+    tube-select corridor (LINESTRING: per-segment padded covers, the same
+    lat-aware kernel `operators/tube._segments_cover` the executed plan
+    uses) or a padded bbox for area geometries.  None = unparseable →
+    caller disables pruning (sound)."""
+    g = wkt.parse_wkt(wkt_text)
+    if g is None:
+        return None
+    from ..geo import kernels
+    from ..operators import tube  # local: plans must not import operators at module load
+
+    if g.kind == wkt.WKB_POINT:
+        c, r = cells.cover_point_radius(
+            float(g.coords[0]), float(g.coords[1]), float(meters), bucket_res
+        )
+        return np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c
+    if g.kind in (wkt.WKB_LINESTRING, wkt.WKB_MULTILINESTRING):
+        part_coords = list(g.coords) if g.kind == wkt.WKB_MULTILINESTRING else [g.coords]
+        covers = [
+            tube._segments_cover(np.asarray(c, dtype=np.float64), meters, bucket_res)
+            for c in part_coords
+            if len(c) >= 2
+        ]
+        if not covers:
+            return None  # degenerate polyline → no pruning (sound)
+        return np.unique(np.concatenate(covers))
+    # area/other literals: pad the whole bbox by the radius (lat-aware at
+    # the poleward edge, mirroring tube._segments_cover) — looser than a
+    # per-edge corridor but complete, and the exact predicate refines
+    lon0, lat0, lon1, lat1 = planner.extract_bounds(wkt_text)
+    pad_lat = float(np.degrees(meters / kernels.EARTH_RADIUS_M))
+    lat_ref = min(max(abs(lat0), abs(lat1)) + pad_lat, 89.999)
+    pad_lon = pad_lat / max(np.cos(np.radians(lat_ref)), 1e-6)
+    c, r = cells.cover_bbox(
+        lon0 - pad_lon, max(lat0 - pad_lat, -90.0),
+        lon1 + pad_lon, min(lat1 + pad_lat, 90.0), bucket_res, 4096
+    )
+    return np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c
 
 
 class SqlEngine:
@@ -139,9 +192,16 @@ class SqlEngine:
                     lon0, lat0, lon1, lat1 = planner.extract_bounds(wkt.to_wkt(p))
                     c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, bucket_res, 4096)
                 buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
-        for lon, lat, meters in _find_dwithin(query):
-            c, r = cells.cover_point_radius(float(lon), float(lat), float(meters), bucket_res)
-            buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
+        for spec in _find_dwithin(query):
+            if spec[0] == "point":
+                _, lon, lat, meters = spec
+                c, r = cells.cover_point_radius(float(lon), float(lat), float(meters), bucket_res)
+                buckets.append(np.unique(cells.parent(c, r - bucket_res)) if r > bucket_res else c)
+            else:  # ("wkt", text, meters) — tube/route corridor pattern
+                cov = _corridor_cover(spec[1], spec[2], bucket_res)
+                if cov is None:
+                    return None  # unparseable literal → no pruning (sound)
+                buckets.append(cov)
         if not buckets:
             return None
         # multiple predicates (all conjuncts, OR is rejected above): the

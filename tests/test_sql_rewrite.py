@@ -55,6 +55,47 @@ def test_dwithin_pushdown(spark, engine):
     assert engine.explain_pruning(q)["geo_docs"] > 0
 
 
+def test_dwithin_linestring_corridor_pushdown(spark, engine):
+    """Round-4: the tube-select SQL pattern — st_dwithin against a literal
+    LINESTRING — prunes via the corridor cover (same kernel the executed
+    tube plan uses) and matches the full scan exactly."""
+    q = """
+      SELECT doc_id FROM geo_docs
+      WHERE st_dwithin(st_geomFromWKT('LINESTRING(12 12, 15 15, 18 13)'),
+                       st_point(lon, lat), 150000.0D)
+    """
+    pruned = {r["doc_id"] for r in engine.sql(q).collect()}
+    full = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert pruned == full and len(pruned) > 0
+    n_total = spark.read.parquet(
+        engine._tables["geo_docs"]["path"]
+    ).select("cell_bucket").distinct().count()
+    assert 0 < engine.explain_pruning(q)["geo_docs"] < n_total
+
+
+def test_dwithin_polygon_dilated_pushdown(spark, engine):
+    """st_dwithin against a literal POLYGON prunes via the padded bbox."""
+    q = f"""
+      SELECT doc_id FROM geo_docs
+      WHERE st_dwithin(st_geomFromWKT('{POLY}'), st_point(lon, lat), 50000.0D)
+    """
+    pruned = {r["doc_id"] for r in engine.sql(q).collect()}
+    full = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert pruned == full and len(pruned) > 0
+    assert engine.explain_pruning(q)["geo_docs"] > 0
+
+
+def test_dwithin_unparseable_linestring_is_sound(spark, engine):
+    """An unparseable corridor literal disables pruning entirely; whatever
+    the predicate itself evaluates to, the engine matches plain spark.sql."""
+    q = """
+      SELECT count(*) AS n FROM geo_docs
+      WHERE st_dwithin(st_geomFromWKT('LINESTRING(bad'), st_point(lon, lat), 1000.0D) IS NULL
+    """
+    assert engine.explain_pruning(q)["geo_docs"] == -1  # no pruning
+    assert engine.sql(q).collect()[0]["n"] == spark.sql(q).collect()[0]["n"]
+
+
 def test_no_predicate_no_pruning_full_table(spark, engine):
     n = engine.sql("SELECT count(*) AS n FROM geo_docs").collect()[0]["n"]
     full = spark.read.parquet(engine._tables["geo_docs"]["path"]).count()
