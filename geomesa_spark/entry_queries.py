@@ -235,6 +235,33 @@ def _event_boxes(spark, sf_dir, mod, rem, half_w, half_h, id_alias, wkt_alias):
     )
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics — the reference's stats-grouped-by-region pattern
+    (a StatsScan evaluated per polygon of a query layer; public anchor
+    geomesa-index-api/.../iterators/StatsScan.scala + the process-level
+    grouped DensityScan, mount empty at survey time): per-zone count /
+    value sum / id extrema of the points the XZ2 PIP join assigns to each
+    polygon.  100-TB shape: identical join plan to xz2_poly_point_join,
+    then ONE additional narrow map-side-combinable shuffle on zone_id —
+    the aggregate input is (zone_id, vc, id), never the wide row."""
+    from .operators import xz2
+
+    geoms = _event_boxes(spark, sf_dir, 37, 0, 2.005, 1.005, "zone_id", "wkt")
+    pts = _event_points(spark, sf_dir).select(
+        F.col("event_id").alias("point_event_id"),
+        "lon",
+        "lat",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vc"),
+    )
+    out = xz2.xz2_join_points(geoms, pts, predicate="intersects")
+    return out.groupBy("zone_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("vc").alias("value_cents"),
+        F.min("point_event_id").alias("min_event_id"),
+        F.max("point_event_id").alias("max_event_id"),
+    )
+
+
 def q_xz2_poly_poly_join(spark, sf_dir):
     """XZ2 polygon×polygon large×large join (the join shape round 1 listed
     as unsupported).  Two box families of different sizes so BOTH
@@ -1134,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_grid": q_density_grid,
         "knn_centers": q_knn_centers,
         "xz2_poly_point_join": q_xz2_poly_point_join,
+        "zonal_stats": q_zonal_stats,
         "xz2_poly_poly_join": q_xz2_poly_poly_join,
         "z3_bbox_time": q_z3_bbox_time,
         "attr_index_scan": q_attr_index_scan,
@@ -1367,6 +1395,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pts p JOIN g
               ON p.lon >= g.glon - 2.005 AND p.lon <= g.glon + 2.005
              AND p.lat >= g.glat - 1.005 AND p.lat <= g.glat + 1.005
+        """,
+        "zonal_stats": f"""
+            WITH pts AS (
+              SELECT event_id, {LON_EXPR} AS lon, {LAT_EXPR} AS lat,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            g AS (
+              SELECT event_id AS zone_id, lon AS glon, lat AS glat
+              FROM pts
+              WHERE event_id % 37 = 0
+                AND lat >= -80.0 AND lat <= 80.0
+                AND lon >= -170.0 AND lon <= 170.0)
+            SELECT zone_id, count(*) AS n_points,
+                   CAST(SUM(p.vc) AS BIGINT) AS value_cents,
+                   MIN(p.event_id) AS min_event_id,
+                   MAX(p.event_id) AS max_event_id
+            FROM pts p JOIN g
+              ON p.lon >= g.glon - 2.005 AND p.lon <= g.glon + 2.005
+             AND p.lat >= g.glat - 1.005 AND p.lat <= g.glat + 1.005
+            GROUP BY zone_id
         """,
         "flagship_rect_join": _flagship_rect_sql(),
         "minhash_md5_pairs": _minhash_md5_sql(pct=90),
