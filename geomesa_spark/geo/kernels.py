@@ -257,6 +257,46 @@ def point_segments_dist_m(
     return d.min(axis=1)
 
 
+def point_segments_nearest(
+    lons: np.ndarray, lats: np.ndarray, seg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`point_segments_dist_m` but also returns the BEARING of
+    the nearest segment per point (degrees clockwise from north, [0, 360),
+    planar in the same local equirectangular frame the distance uses) —
+    the quantity RouteSearchProcess compares against a track's heading."""
+    seg = np.asarray(seg, dtype=np.float64)
+    x = np.asarray(lons, dtype=np.float64)[:, None]
+    y = np.asarray(lats, dtype=np.float64)[:, None]
+    x1, y1 = seg[:-1, 0][None, :], seg[:-1, 1][None, :]
+    x2, y2 = seg[1:, 0][None, :], seg[1:, 1][None, :]
+    k = np.cos(np.radians((y1 + y2) / 2.0))
+    px, py = (x - x1) * k, y - y1
+    dx, dy = (x2 - x1) * k, y2 - y1
+    len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(len2 > 0, (px * dx + py * dy) / len2, 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    nx = x1 + t * (x2 - x1)
+    ny = y1 + t * (y2 - y1)
+    d = haversine_m(x, y, nx, ny)
+    i = d.argmin(axis=1)
+    rows = np.arange(d.shape[0])
+    seg_bearing = np.degrees(np.arctan2(dx, dy)) % 360.0  # (1, M)
+    return d[rows, i], seg_bearing[0, i]
+
+
+def heading_delta_deg(a: np.ndarray, b: np.ndarray, bidirectional: bool = True) -> np.ndarray:
+    """Angular difference between two headings in degrees, folded to
+    [0, 180]; with ``bidirectional`` (RouteSearchProcess's default reading
+    of an undirected route line) a reciprocal heading counts as aligned,
+    so the fold is to [0, 90]."""
+    d = np.abs((np.asarray(a, np.float64) - np.asarray(b, np.float64)) % 360.0)
+    d = np.minimum(d, 360.0 - d)
+    if bidirectional:
+        d = np.minimum(d, 180.0 - d)
+    return d
+
+
 def bbox_of_rings(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
     outer = np.asarray(rings[0], dtype=np.float64)
     return (

@@ -147,12 +147,24 @@ def route_join(
     max_dist_m: float,
     res: int = 8,
     id_col: str = "event_id",
+    heading_col: str | None = None,
+    max_heading_delta_deg: float | None = None,
+    bidirectional: bool = True,
 ) -> DataFrame:
     """Match each point to the NEAREST route within ``max_dist_m``
-    (RouteSearchProcess analogue; heading matching omitted — documented).
+    (RouteSearchProcess analogue).
 
     Routes: [{route_id, wkt LINESTRING}].  Small side broadcast; one
-    candidate join per route cover, then a min-distance window."""
+    candidate join per route cover, then a min-distance window.
+
+    Heading matching (round 4 — closes the documented narrowing): with
+    ``heading_col`` + ``max_heading_delta_deg`` set, a candidate only
+    counts when the point's heading is within the threshold of its
+    NEAREST route segment's bearing, folded to [0, 180] — or [0, 90]
+    when ``bidirectional`` (an undirected route line: a reciprocal
+    heading is aligned).  The bearing comes out of the same Arrow batch
+    as the distance (one struct UDF pass); the angular fold runs
+    JVM-side in whole-stage codegen."""
     from pyspark.sql import Window
 
     from ..geo import wkt as wktmod
@@ -198,12 +210,40 @@ def route_join(
 
     pts = spatial_join.add_cell_column(points, res)
     cand = pts.join(F.broadcast(cover_df), "cell", "inner")
-    # optimizer fence: one route_dist evaluation (see spatial_join.haversine_udf)
-    cand = cand.withColumn(
-        "route_dist_m",
-        route_dist.asNondeterministic()(F.col("lon"), F.col("lat"), F.col("route_id")),
-    )
-    cand = cand.filter(F.col("route_dist_m") <= float(max_dist_m))
+    if heading_col is not None and max_heading_delta_deg is not None:
+
+        @F.pandas_udf("struct<dist:double,bearing:double>")
+        def route_near(lon: pd.Series, lat: pd.Series, rid: pd.Series) -> pd.DataFrame:
+            lons = lon.to_numpy(np.float64, na_value=np.nan)
+            lats = lat.to_numpy(np.float64, na_value=np.nan)
+            rids = rid.to_numpy(object)
+            dist = np.full(len(lons), np.inf)
+            bear = np.zeros(len(lons))
+            for rr in pd.unique(rids):
+                m = rids == rr
+                dist[m], bear[m] = kernels.point_segments_nearest(lons[m], lats[m], segs[rr])
+            return pd.DataFrame({"dist": dist, "bearing": bear})
+
+        # optimizer fence: one evaluation (see spatial_join.haversine_udf)
+        cand = cand.withColumn(
+            "_near",
+            route_near.asNondeterministic()(F.col("lon"), F.col("lat"), F.col("route_id")),
+        ).withColumn("route_dist_m", F.col("_near.dist"))
+        delta = F.pmod(F.abs(F.col(heading_col) - F.col("_near.bearing")), F.lit(360.0))
+        delta = F.least(delta, F.lit(360.0) - delta)
+        if bidirectional:
+            delta = F.least(delta, F.lit(180.0) - delta)
+        cand = cand.filter(
+            (F.col("route_dist_m") <= float(max_dist_m))
+            & (delta <= float(max_heading_delta_deg))
+        ).drop("_near")
+    else:
+        # optimizer fence: one route_dist evaluation (see spatial_join.haversine_udf)
+        cand = cand.withColumn(
+            "route_dist_m",
+            route_dist.asNondeterministic()(F.col("lon"), F.col("lat"), F.col("route_id")),
+        )
+        cand = cand.filter(F.col("route_dist_m") <= float(max_dist_m))
     w = Window.partitionBy(id_col).orderBy(F.col("route_dist_m").asc(), F.col("route_id").asc())
     return (
         cand.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")

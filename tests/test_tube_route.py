@@ -456,3 +456,84 @@ def test_route_join_fallback_schema_matches_normal_path(spark, events_df):
     assert fallback.columns == normal.columns
     # and the union is legal (types line up too)
     assert normal.unionByName(fallback).count() == normal.count()
+
+
+def test_point_segments_nearest_matches_dist_and_bearing():
+    """Kernel: dist equals point_segments_dist_m exactly; bearing is the
+    planar azimuth of the argmin segment (east leg → 90°, north leg → 0°)."""
+    seg = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])  # east, then north
+    lons = np.array([0.5, 1.01, -0.2])
+    lats = np.array([0.1, 0.5, 0.0])
+    d_ref = kernels.point_segments_dist_m(lons, lats, seg)
+    d, b = kernels.point_segments_nearest(lons, lats, seg)
+    np.testing.assert_allclose(d, d_ref, rtol=0, atol=0)
+    assert b[0] == pytest.approx(90.0)  # nearest = east leg
+    assert b[1] == pytest.approx(0.0)   # nearest = north leg
+    assert b[2] == pytest.approx(90.0)  # clamped to the east leg's start
+
+
+def test_heading_delta_fold():
+    a = np.array([10.0, 350.0, 90.0, 90.0])
+    b = np.array([350.0, 10.0, 270.0, 180.0])
+    np.testing.assert_allclose(
+        kernels.heading_delta_deg(a, b, bidirectional=False), [20.0, 20.0, 180.0, 90.0]
+    )
+    np.testing.assert_allclose(
+        kernels.heading_delta_deg(a, b, bidirectional=True), [20.0, 20.0, 0.0, 90.0]
+    )
+
+
+@pytest.fixture(scope="module")
+def heading_points(spark):
+    """Three points just north of an east-west route, with headings
+    aligned (90°), reciprocal (270°), and perpendicular (0°)."""
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "lon": [0.3, 0.5, 0.7],
+                "lat": [0.01, 0.01, 0.01],
+                "heading": [92.0, 268.0, 1.0],
+            }
+        )
+    )
+
+
+_EW_ROUTE = [dict(route_id="EW", wkt="LINESTRING(0 0, 1 0)")]
+
+
+def test_route_join_heading_bidirectional(spark, heading_points):
+    """RouteSearchProcess heading matching, undirected route: aligned AND
+    reciprocal headings match; perpendicular is excluded."""
+    out = tube.route_join(
+        heading_points, _EW_ROUTE, max_dist_m=10_000.0, id_col="event_id",
+        heading_col="heading", max_heading_delta_deg=30.0, bidirectional=True,
+    )
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+def test_route_join_heading_directed(spark, heading_points):
+    """Directed route line: only the along-bearing heading survives."""
+    out = tube.route_join(
+        heading_points, _EW_ROUTE, max_dist_m=10_000.0, id_col="event_id",
+        heading_col="heading", max_heading_delta_deg=30.0, bidirectional=False,
+    )
+    assert {r["event_id"] for r in out.collect()} == {1}
+
+
+def test_route_join_heading_none_matches_distance_only(spark, heading_points):
+    """Without heading args the heading column is inert — pure distance
+    match, and route_dist_m agrees with the heading path's distances."""
+    plain = tube.route_join(heading_points, _EW_ROUTE, 10_000.0, id_col="event_id")
+    assert {r["event_id"] for r in plain.collect()} == {1, 2, 3}
+    with_h = tube.route_join(
+        heading_points, _EW_ROUTE, 10_000.0, id_col="event_id",
+        heading_col="heading", max_heading_delta_deg=180.0, bidirectional=False,
+    )
+    pd_plain = plain.select("event_id", "route_dist_m").toPandas().set_index("event_id")
+    pd_h = with_h.select("event_id", "route_dist_m").toPandas().set_index("event_id")
+    assert len(pd_h) == 3
+    for eid in (1, 2, 3):
+        assert pd_plain.loc[eid, "route_dist_m"] == pytest.approx(
+            pd_h.loc[eid, "route_dist_m"], abs=0.0
+        )
