@@ -197,6 +197,25 @@ class TestSpacetimePushdown:
         full = spark.sql(q).collect()[0]["n"]
         assert n == full and n > 0
 
+    def test_corridor_and_time_window_composite(self, spark, st_engine):
+        """The full tube-select SQL pattern: corridor (literal LINESTRING
+        dwithin) AND time window prune BOTH partition dimensions."""
+        q = """
+          SELECT event_id FROM geo_events
+          WHERE st_dwithin(st_geomFromWKT('LINESTRING(0 10, 15 15, 30 10)'),
+                           st_point(lon, lat), 500000.0D)
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        """
+        stats = st_engine.explain_pruning(q)
+        path = st_engine._tables["geo_events"]["path"]
+        full = spark.read.parquet(path)
+        assert 0 < stats["geo_events"] < full.select("cell_bucket").distinct().count()
+        assert 0 < stats["geo_events:time_bins"] < full.select("time_bin").distinct().count()
+        pruned = {r["event_id"] for r in st_engine.sql(q).collect()}
+        plain = {r["event_id"] for r in spark.sql(q).collect()}
+        assert pruned == plain and len(pruned) > 0
+
     def test_or_disables_time_pruning(self, spark, st_engine):
         q = """
           SELECT event_id FROM geo_events
