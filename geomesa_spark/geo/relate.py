@@ -183,22 +183,104 @@ def covers(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
     return contains(ga, gb)
 
 
+def _canon_ring(ring: np.ndarray) -> np.ndarray:
+    """Canonical form of a ring: open it, rotate so the lexicographically
+    smallest vertex comes first, then pick the byte-smaller of the two
+    orientations — so two rings equal up to rotation AND direction get
+    the identical array."""
+    r = kernels.close_ring(np.asarray(ring, dtype=np.float64))[:-1]
+    i = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+    fwd = np.roll(r, -i, axis=0)
+    rev = np.roll(fwd[::-1], 1, axis=0)  # same start vertex, opposite walk
+    return fwd if fwd.tobytes() <= rev.tobytes() else rev
+
+
+def _canon_line(line: np.ndarray) -> np.ndarray:
+    """Direction-canonical polyline: the byte-smaller of the two walks."""
+    c = np.asarray(line, dtype=np.float64)
+    r = c[::-1]
+    return c if c.tobytes() <= r.tobytes() else r
+
+
 def equals(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
+    """Geometry equality up to the representation freedoms JTS ``equals``
+    ignores: ring ROTATION and DIRECTION for polygons, line DIRECTION for
+    linestrings, part/vertex ORDER for MULTI* (round 4 — the round-3
+    coordinate-sequence narrowing).  Still vertex-based: two boundaries
+    tracing the same set with different collinear-vertex splits compare
+    unequal (documented; JTS normalizes nodes, we don't)."""
     if ga.kind != gb.kind:
         return False
     if ga.kind == wkt.WKB_POINT:
         return bool(np.allclose(ga.coords, gb.coords, atol=1e-12))
-    # structural equality up to ring rotation/direction is JTS-expensive;
-    # exact coordinate-sequence equality is the documented approximation
     try:
         if ga.kind == wkt.WKB_POLYGON:
-            return len(ga.coords) == len(gb.coords) and all(
-                np.allclose(kernels.close_ring(x), kernels.close_ring(y), atol=1e-12)
-                for x, y in zip(ga.coords, gb.coords)
+            if len(ga.coords) != len(gb.coords):
+                return False
+            # outer ring pairs with outer; holes compare as a multiset
+            if not _ring_eq(ga.coords[0], gb.coords[0]):
+                return False
+            return _multiset_eq(
+                [_canon_ring(h) for h in ga.coords[1:]],
+                [_canon_ring(h) for h in gb.coords[1:]],
+            )
+        if ga.kind == wkt.WKB_LINESTRING:
+            a, b = _canon_line(ga.coords), _canon_line(gb.coords)
+            return a.shape == b.shape and bool(np.allclose(a, b, atol=1e-12))
+        if ga.kind == wkt.WKB_MULTIPOINT:
+            a = np.asarray(ga.coords, dtype=np.float64)
+            b = np.asarray(gb.coords, dtype=np.float64)
+            if a.shape != b.shape:
+                return False
+            a = a[np.lexsort((a[:, 1], a[:, 0]))]
+            b = b[np.lexsort((b[:, 1], b[:, 0]))]
+            return bool(np.allclose(a, b, atol=1e-12))
+        if ga.kind == wkt.WKB_MULTILINESTRING:
+            return _multiset_eq(
+                [_canon_line(p) for p in ga.coords],
+                [_canon_line(p) for p in gb.coords],
+            )
+        if ga.kind == wkt.WKB_MULTIPOLYGON:
+            return _multiset_eq(
+                [_canon_poly(poly) for poly in ga.coords],
+                [_canon_poly(poly) for poly in gb.coords],
             )
         return bool(np.allclose(ga.coords, gb.coords, atol=1e-12))
     except (ValueError, TypeError):
         return False
+
+
+def _canon_poly(poly: list[np.ndarray]) -> np.ndarray:
+    """Canonical polygon: outer ring first, holes sorted by canonical
+    bytes, each ring prefixed by an (inf, ring_len) separator row so
+    different ring partitions of the same vertex rows can never collide
+    (inf never appears as a coordinate)."""
+    rings = [_canon_ring(poly[0])] + sorted(
+        (_canon_ring(h) for h in poly[1:]), key=lambda r: r.tobytes()
+    )
+    parts = []
+    for r in rings:
+        parts.append(np.array([[np.inf, float(len(r))]]))
+        parts.append(r)
+    return np.vstack(parts)
+
+
+def _ring_eq(a: np.ndarray, b: np.ndarray) -> bool:
+    ca, cb = _canon_ring(a), _canon_ring(b)
+    return ca.shape == cb.shape and bool(np.allclose(ca, cb, atol=1e-12))
+
+
+def _multiset_eq(parts_a: list[np.ndarray], parts_b: list[np.ndarray]) -> bool:
+    """Order-insensitive comparison of canonicalized parts (sorted by the
+    canonical bytes, then pairwise exact-shape allclose)."""
+    if len(parts_a) != len(parts_b):
+        return False
+    sa = sorted(parts_a, key=lambda p: p.tobytes())
+    sb = sorted(parts_b, key=lambda p: p.tobytes())
+    return all(
+        x.shape == y.shape and bool(np.allclose(x, y, atol=1e-12))
+        for x, y in zip(sa, sb)
+    )
 
 
 def distance_deg(ga: wkt.Geometry, gb: wkt.Geometry) -> float:

@@ -394,3 +394,73 @@ class TestPolyPolyBoxDifferential:
             B = (float(bx0), float(by0), float(bx1), float(by1))
             got = de9im.poly_poly_matrix(self._box_rings(*A), self._box_rings(*B))
             assert got == self._oracle(A, B), (A, B)
+
+
+class TestEqualsCanonical:
+    """Round 4: `relate.equals` is invariant to ring rotation/direction,
+    line direction, and MULTI* part order (the round-3 coordinate-sequence
+    narrowing).  Still vertex-based: different collinear splits of the
+    same boundary compare unequal (documented)."""
+
+    def _eq(self, a, b):
+        from geomesa_spark.geo import relate
+
+        return relate.equals(wkt.parse_wkt(a), wkt.parse_wkt(b))
+
+    def test_polygon_rotation(self):
+        assert self._eq(
+            "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON((4 4, 0 4, 0 0, 4 0, 4 4))",
+        )
+
+    def test_polygon_reversed_orientation(self):
+        assert self._eq(
+            "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON((0 0, 0 4, 4 4, 4 0, 0 0))",
+        )
+
+    def test_polygon_different_vertices_unequal(self):
+        assert not self._eq(
+            "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON((0 0, 4 0, 4 4, 0 5, 0 0))",
+        )
+
+    def test_polygon_holes_order_insensitive(self):
+        a = ("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 6 5, 6 6, 5 6, 5 5))")
+        b = ("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0),"
+             " (5 5, 6 5, 6 6, 5 6, 5 5), (1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert self._eq(a, b)
+
+    def test_hole_vs_no_hole_unequal(self):
+        assert not self._eq(
+            "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+            "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))",
+        )
+
+    def test_linestring_reversed(self):
+        assert self._eq("LINESTRING(0 0, 1 1, 2 0)", "LINESTRING(2 0, 1 1, 0 0)")
+        assert not self._eq("LINESTRING(0 0, 1 1, 2 0)", "LINESTRING(0 0, 1 1, 2 1)")
+
+    def test_collinear_split_documented_unequal(self):
+        # same point set, extra collinear vertex: JTS says equal, we don't
+        assert not self._eq("LINESTRING(0 0, 2 0)", "LINESTRING(0 0, 1 0, 2 0)")
+
+    def test_multipoint_order_insensitive(self):
+        assert self._eq("MULTIPOINT(1 1, 2 2, 3 3)", "MULTIPOINT(3 3, 1 1, 2 2)")
+        assert not self._eq("MULTIPOINT(1 1, 2 2)", "MULTIPOINT(1 1, 2 3)")
+
+    def test_multilinestring_part_order_and_direction(self):
+        assert self._eq(
+            "MULTILINESTRING((0 0, 1 1), (5 5, 6 6))",
+            "MULTILINESTRING((6 6, 5 5), (1 1, 0 0))",
+        )
+
+    def test_multipolygon_part_order_and_rotation(self):
+        assert self._eq(
+            "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",
+            "MULTIPOLYGON(((7 7, 5 7, 5 5, 7 5, 7 7)), ((0 0, 0 2, 2 2, 2 0, 0 0)))",
+        )
+
+    def test_kind_mismatch(self):
+        assert not self._eq("POINT(1 1)", "LINESTRING(1 1, 2 2)")
