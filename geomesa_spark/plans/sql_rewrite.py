@@ -176,6 +176,56 @@ class SqlEngine:
         )
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    def register_attr_parquet(
+        self, name: str, path: str, attr_col: str, prefix_len: int = 1,
+        date_col: str | None = None, date_bin_days: int = planner.TIME_BIN_DAYS,
+    ) -> None:
+        """Register an attribute-indexed layout (planner.write_attr_
+        partitioned output) for pushdown — GeoMesa's attribute-index
+        strategy selection as a SQL rewrite: a literal equality or range
+        conjunct on ``attr_col`` prunes the lexicoded ``attr_part``
+        directories (the prefix is an order-preserving coarsening, so
+        range bounds map to prefix bounds), and with ``date_col`` a
+        literal time window prunes the nested ``date_bin`` dirs.  The
+        user's own predicate stays in the query as the exact refine."""
+        self._tables[name] = dict(
+            path=path, kind="attr", attr_col=attr_col, prefix_len=prefix_len,
+            time_col=date_col, time_bin_days=date_bin_days,
+        )
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def _attr_bounds_from_query(
+        self, query: str, meta: dict
+    ) -> tuple[str | None, str | None] | None:
+        """(lo, hi) literal bounds on the attr column from top-level
+        conjuncts (equality → lo == hi); None = no pruning.  Same NOT/OR
+        soundness gate as the spatial path."""
+        if not _no_disjunction(query):
+            return None
+        col = meta["attr_col"]
+        los: list[str] = []
+        his: list[str] = []
+        for op, lit in re.findall(
+            rf"\b{re.escape(col)}\s*(=|>=|>|<=|<)\s*'([^']*)'", query
+        ):
+            if op == "=":
+                los.append(lit)
+                his.append(lit)
+            elif op in (">=", ">"):
+                los.append(lit)
+            else:
+                his.append(lit)
+        for lo, hi in re.findall(
+            rf"\b{re.escape(col)}\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'",
+            query,
+            re.IGNORECASE,
+        ):
+            los.append(lo)
+            his.append(hi)
+        if not los and not his:
+            return None
+        return (max(los) if los else None, min(his) if his else None)
+
     def _covers_from_query(self, query: str, bucket_res: int) -> np.ndarray | None:
         if not _no_disjunction(query):
             return None
@@ -216,19 +266,39 @@ class SqlEngine:
         for name, meta in self._tables.items():
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
-            cover = self._covers_from_query(query, meta["bucket_res"])
+            bin_col = "date_bin" if meta.get("kind") == "attr" else "time_bin"
             bins = self._bins_from_query(query, meta)
-            if cover is None and bins is None:
-                continue
+            if meta.get("kind") == "attr":
+                cover = None
+                bounds = self._attr_bounds_from_query(query, meta)
+                if bounds is None and bins is None:
+                    continue
+            else:
+                bounds = None
+                cover = self._covers_from_query(query, meta["bucket_res"])
+                if cover is None and bins is None:
+                    continue
             df = self.spark.read.parquet(meta["path"])
             if cover is not None:
                 df = df.filter(F.col("cell_bucket").isin([int(b) for b in cover]))
+            if bounds is not None:
+                lo, hi = bounds
+                if lo is not None:
+                    df = df.filter(
+                        F.col("attr_part")
+                        >= planner._attr_part_value(lo, meta["prefix_len"])
+                    )
+                if hi is not None:
+                    df = df.filter(
+                        F.col("attr_part")
+                        <= planner._attr_part_value(hi, meta["prefix_len"])
+                    )
             if bins is not None:
                 b0, b1 = bins
                 if b0 is not None:
-                    df = df.filter(F.col("time_bin") >= b0)
+                    df = df.filter(F.col(bin_col) >= b0)
                 if b1 is not None:
-                    df = df.filter(F.col("time_bin") <= b1)
+                    df = df.filter(F.col(bin_col) <= b1)
             df.createOrReplaceTempView(name)
             pruned.append(name)
         try:
@@ -263,14 +333,33 @@ class SqlEngine:
         pruned bin-range width (-1 = no time pruning)."""
         out = {}
         for name, meta in self._tables.items():
-            if re.search(rf"\b{re.escape(name)}\b", query):
+            if not re.search(rf"\b{re.escape(name)}\b", query):
+                continue
+            if meta.get("kind") == "attr":
+                bounds = self._attr_bounds_from_query(query, meta)
+                if bounds is None:
+                    out[name] = -1
+                else:
+                    # surviving attr_part dirs (partition-column-only scan)
+                    lo, hi = bounds
+                    parts = self.spark.read.parquet(meta["path"]).select("attr_part")
+                    if lo is not None:
+                        parts = parts.filter(
+                            F.col("attr_part")
+                            >= planner._attr_part_value(lo, meta["prefix_len"])
+                        )
+                    if hi is not None:
+                        parts = parts.filter(
+                            F.col("attr_part")
+                            <= planner._attr_part_value(hi, meta["prefix_len"])
+                        )
+                    out[name] = parts.distinct().count()
+            else:
                 cover = self._covers_from_query(query, meta["bucket_res"])
                 out[name] = -1 if cover is None else len(cover)
-                if meta.get("time_col"):
-                    bins = self._bins_from_query(query, meta)
-                    out[f"{name}:time_bins"] = (
-                        -1
-                        if bins is None or None in bins
-                        else bins[1] - bins[0] + 1
-                    )
+            if meta.get("time_col"):
+                bins = self._bins_from_query(query, meta)
+                out[f"{name}:time_bins"] = (
+                    -1 if bins is None or None in bins else bins[1] - bins[0] + 1
+                )
         return out

@@ -225,3 +225,85 @@ class TestSpacetimePushdown:
         got = {r["event_id"] for r in st_engine.sql(q).collect()}
         full = {r["event_id"] for r in spark.sql(q).collect()}
         assert got == full and len(got) > 0
+
+
+class TestAttrIndexPushdown:
+    """Round-4 capstone: GeoMesa's attribute-index strategy selection as a
+    SQL rewrite — a literal equality/range conjunct on the registered
+    attribute prunes the lexicoded ``attr_part`` dirs (+ nested
+    ``date_bin`` with a literal time window); the exact predicate refines."""
+
+    @pytest.fixture(scope="class")
+    def attr_engine(self, spark, sf_dir, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("sqlattr") / "events_attr")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "user_id", "ts"
+        )
+        planner.write_attr_partitioned(
+            ev, path, attr_col="event_type", date_col="ts"
+        )
+        eng = sql_rewrite.SqlEngine(spark)
+        eng.register_attr_parquet(
+            "events_attr", path, attr_col="event_type", date_col="ts"
+        )
+        return eng
+
+    def test_equality_prunes_and_matches(self, spark, attr_engine):
+        q = """
+          SELECT event_id, user_id FROM events_attr
+          WHERE event_type = 'click'
+        """
+        stats = attr_engine.explain_pruning(q)
+        path = attr_engine._tables["events_attr"]["path"]
+        n_parts = (
+            spark.read.parquet(path).select("attr_part").distinct().count()
+        )
+        assert 0 < stats["events_attr"] < n_parts
+        pruned = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_range_prunes_and_matches(self, spark, attr_engine):
+        q = """
+          SELECT event_id FROM events_attr
+          WHERE event_type >= 'click' AND event_type <= 'purchase'
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] > 0
+        pruned = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_attr_and_date_window_composite(self, spark, attr_engine):
+        q = """
+          SELECT event_id FROM events_attr
+          WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        """
+        stats = attr_engine.explain_pruning(q)
+        path = attr_engine._tables["events_attr"]["path"]
+        full_df = spark.read.parquet(path)
+        assert 0 < stats["events_attr"]
+        assert (
+            0
+            < stats["events_attr:time_bins"]
+            < full_df.select("date_bin").distinct().count()
+        )
+        pruned = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_or_disables_attr_pruning(self, spark, attr_engine):
+        q = """
+          SELECT event_id FROM events_attr
+          WHERE event_type = 'click' OR user_id = 1
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] == -1
+        got = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_no_literal_full_scan(self, spark, attr_engine):
+        n = attr_engine.sql("SELECT count(*) AS n FROM events_attr").collect()[0]["n"]
+        path = attr_engine._tables["events_attr"]["path"]
+        assert n == spark.read.parquet(path).count()
