@@ -36,14 +36,25 @@ def swap_cache(key: str, df: DataFrame) -> DataFrame:
     silently turned best-of-N reps of the XZ2 join into
     recompute-every-rep: a measured 1.7x regression vs round 2
     (interleaved A/B, round-3 verdict item 3).  The bounded-leak
-    guarantee is unchanged: at most one cached intermediate per key."""
+    guarantee is unchanged: at most one cached intermediate per key.
+
+    Reuse requires BOTH ``sameResult`` and identical column names:
+    ``sameResult`` canonicalizes attribute names away, so two plans that
+    differ only in output aliases compare equal — returning the cached
+    frame would hand the caller the WRONG schema (found live: zonal_stats
+    after xz2_poly_point_join got the previous query's ``geom_event_id``
+    column instead of its own ``zone_id``)."""
     prev = _LAST.get(key)
     if prev is not None:
         try:
             # is_cached guards against an external clearCache(): a stale
             # entry would run uncached forever if returned here
-            if prev.is_cached and prev._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
+            if (
+                prev.is_cached
+                and prev.columns == df.columns
+                and prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                )
             ):
                 return prev
             prev.unpersist()

@@ -45,3 +45,24 @@ def test_external_clear_cache_is_not_served_stale(spark):
     assert b.is_cached  # re-persisted, not the stale uncached entry
     assert b.count() == 50
     cache.clear_caches()
+
+
+def test_alias_only_difference_must_not_reuse(spark):
+    """Regression (round 4, found live): sameResult canonicalizes
+    attribute names away, so a plan differing ONLY in output aliases
+    compared equal and the caller got the previous query's schema
+    (zonal_stats received xz2_poly_point_join's geom_event_id column
+    instead of zone_id).  Column names must gate reuse."""
+    cache.clear_caches()
+    a = cache.swap_cache(
+        "t.alias", spark.range(50).select(F.col("id").alias("geom_event_id"))
+    )
+    a.count()
+    b = cache.swap_cache(
+        "t.alias", spark.range(50).select(F.col("id").alias("zone_id"))
+    )
+    assert b.columns == ["zone_id"]
+    assert b is not a
+    b.count()
+    assert b.is_cached and not a.is_cached  # still bounded: one entry per key
+    cache.clear_caches()
