@@ -956,6 +956,15 @@ def q_doc_repetition(spark, sf_dir):
     return doc_repetition(_t(spark, sf_dir, "documents"), n=2, max_dup_pct=5)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-corpus duplicate-line fraction (CCNet/Dolma line dedup):
+    per-doc counts of lines that occur more than once corpus-wide,
+    integer-exact permille."""
+    from .functions.text import line_dedup_stats
+
+    return line_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -1204,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
+        "line_dedup": q_line_dedup,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -1850,6 +1860,21 @@ def oracle_sql() -> dict[str, str]:
                      AND 5*n_alpha_words >= 4*n_words
                      AND n_stopwords >= 1) AS keep
             FROM m
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id, md5(l) AS h
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents)
+              WHERE length(l) > 0),
+            per AS (SELECT doc_id, h, count(*) AS m FROM lines GROUP BY 1, 2),
+            tot AS (SELECT h, SUM(m) AS f FROM per GROUP BY 1)
+            SELECT doc_id,
+                   CAST(SUM(m) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN f > 1 THEN m ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                   CAST((1000 * SUM(CASE WHEN f > 1 THEN m ELSE 0 END)) // SUM(m) AS BIGINT) AS dup_permille
+            FROM per JOIN tot USING (h)
+            GROUP BY doc_id
         """,
         "doc_repetition": """
             WITH t AS (

@@ -396,3 +396,45 @@ def doc_repetition(
             F.expr(f"100 * (n_grams - n_distinct) > {max_dup_pct} * n_grams"),
         )
     )
+
+
+def line_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus duplicate-LINE statistics — the CCNet / Dolma
+    line-level dedup signal (distinct from :func:`doc_repetition`, which
+    is WITHIN-doc grams): per document, how many of its non-empty lines
+    also occur elsewhere in the corpus (or again in the same doc).
+
+    Docs whose text is entirely boilerplate (nav bars, cookie banners,
+    license headers) score a high duplicate fraction and get filtered;
+    public anchor: CCNet (Wenzek et al. 2020) paragraph dedup and Dolma's
+    line-level dedup pass.
+
+    100-TB shape: lines leave the row as (id, md5) pairs — the text never
+    crosses a shuffle; both counts are map-side-combinable partial aggs;
+    the frequency join keys on the hash (uniform, no skew).  Output is
+    integer-exact (permille via integer division) so the DuckDB twin is
+    bit-identical.  Docs with zero non-empty lines are absent from the
+    output (no denominator) — documented."""
+    lines = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "\n")).alias("_l")
+    ).filter(F.length("_l") > 0)
+    per = lines.groupBy(id_col, F.md5(F.col("_l")).alias("_h")).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    tot = per.groupBy("_h").agg(F.sum("_m").alias("_f"))
+    return (
+        per.join(tot, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("n_lines"),
+            F.sum(F.when(F.col("_f") > 1, F.col("_m")).otherwise(F.lit(0))).alias(
+                "n_dup_lines"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_dup_lines").cast("bigint").alias("n_dup_lines"),
+            F.expr("(1000 * n_dup_lines) div n_lines").alias("dup_permille"),
+        )
+    )

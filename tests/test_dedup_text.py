@@ -632,3 +632,26 @@ def test_dedup_clusters_warns_when_unconverged(spark):
         w.simplefilter("always")
         dedup_clusters(pairs, nodes, max_iter=2).collect()
     assert any("fixpoint" in str(c.message) for c in caught)
+
+
+def test_line_dedup_stats_planted(spark):
+    """Cross-corpus duplicate-line fraction: a boilerplate line shared by
+    two docs (and repeated within one) counts everywhere it occurs; a
+    unique line doesn't; blank lines are ignored; a doc with no non-empty
+    lines is absent (no denominator)."""
+    from geomesa_spark.functions.text import line_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\n\ncookie banner"),
+            (2, "cookie banner\nunique beta"),
+            (3, "unique gamma"),
+            (4, "\n\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup_stats(docs).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no non-empty lines
+    assert (got[1]["n_lines"], got[1]["n_dup_lines"], got[1]["dup_permille"]) == (3, 2, 666)
+    assert (got[2]["n_lines"], got[2]["n_dup_lines"], got[2]["dup_permille"]) == (2, 1, 500)
+    assert (got[3]["n_lines"], got[3]["n_dup_lines"], got[3]["dup_permille"]) == (1, 0, 0)
