@@ -183,12 +183,26 @@ def covers(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
     return contains(ga, gb)
 
 
+#: equals() quantization: coordinates are rounded to this many decimals
+#: (~1e-12 deg ≈ 0.1 µm) before canonical selection AND comparison, so the
+#: byte order used to pick rotation/direction and the value comparison
+#: agree by construction (round-5 advice: exact-tobytes selection + atol
+#: comparison could canonicalize tolerance-equal rings differently and
+#: return a false negative).
+_EQ_DECIMALS = 12
+
+
+def _quant(a) -> np.ndarray:
+    # `+ 0.0` folds -0.0 → +0.0 so the two share one byte pattern
+    return np.round(np.asarray(a, dtype=np.float64), _EQ_DECIMALS) + 0.0
+
+
 def _canon_ring(ring: np.ndarray) -> np.ndarray:
-    """Canonical form of a ring: open it, rotate so the lexicographically
-    smallest vertex comes first, then pick the byte-smaller of the two
-    orientations — so two rings equal up to rotation AND direction get
-    the identical array."""
-    r = kernels.close_ring(np.asarray(ring, dtype=np.float64))[:-1]
+    """Canonical form of a ring: quantize, open it, rotate so the
+    lexicographically smallest vertex comes first, then pick the
+    byte-smaller of the two orientations — so two rings equal up to
+    rotation AND direction get the identical array."""
+    r = kernels.close_ring(_quant(ring))[:-1]
     i = int(np.lexsort((r[:, 1], r[:, 0]))[0])
     fwd = np.roll(r, -i, axis=0)
     rev = np.roll(fwd[::-1], 1, axis=0)  # same start vertex, opposite walk
@@ -196,8 +210,9 @@ def _canon_ring(ring: np.ndarray) -> np.ndarray:
 
 
 def _canon_line(line: np.ndarray) -> np.ndarray:
-    """Direction-canonical polyline: the byte-smaller of the two walks."""
-    c = np.asarray(line, dtype=np.float64)
+    """Direction-canonical polyline: the byte-smaller of the two walks
+    (quantized, so selection and comparison use the same values)."""
+    c = _quant(line)
     r = c[::-1]
     return c if c.tobytes() <= r.tobytes() else r
 
@@ -206,13 +221,17 @@ def equals(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
     """Geometry equality up to the representation freedoms JTS ``equals``
     ignores: ring ROTATION and DIRECTION for polygons, line DIRECTION for
     linestrings, part/vertex ORDER for MULTI* (round 4 — the round-3
-    coordinate-sequence narrowing).  Still vertex-based: two boundaries
-    tracing the same set with different collinear-vertex splits compare
-    unequal (documented; JTS normalizes nodes, we don't)."""
+    coordinate-sequence narrowing).  Coordinates compare after
+    quantization to `_EQ_DECIMALS` decimals (round 5): canonical
+    rotation/direction selection and the equality check see the SAME
+    values, so tolerance-equal inputs can no longer canonicalize to
+    different rotations.  Still vertex-based: two boundaries tracing the
+    same set with different collinear-vertex splits compare unequal
+    (documented; JTS normalizes nodes, we don't)."""
     if ga.kind != gb.kind:
         return False
     if ga.kind == wkt.WKB_POINT:
-        return bool(np.allclose(ga.coords, gb.coords, atol=1e-12))
+        return bool(np.array_equal(_quant(ga.coords), _quant(gb.coords)))
     try:
         if ga.kind == wkt.WKB_POLYGON:
             if len(ga.coords) != len(gb.coords):
@@ -226,15 +245,15 @@ def equals(ga: wkt.Geometry, gb: wkt.Geometry) -> bool:
             )
         if ga.kind == wkt.WKB_LINESTRING:
             a, b = _canon_line(ga.coords), _canon_line(gb.coords)
-            return a.shape == b.shape and bool(np.allclose(a, b, atol=1e-12))
+            return bool(np.array_equal(a, b))
         if ga.kind == wkt.WKB_MULTIPOINT:
-            a = np.asarray(ga.coords, dtype=np.float64)
-            b = np.asarray(gb.coords, dtype=np.float64)
+            a = _quant(ga.coords)
+            b = _quant(gb.coords)
             if a.shape != b.shape:
                 return False
             a = a[np.lexsort((a[:, 1], a[:, 0]))]
             b = b[np.lexsort((b[:, 1], b[:, 0]))]
-            return bool(np.allclose(a, b, atol=1e-12))
+            return bool(np.array_equal(a, b))
         if ga.kind == wkt.WKB_MULTILINESTRING:
             return _multiset_eq(
                 [_canon_line(p) for p in ga.coords],
@@ -266,21 +285,18 @@ def _canon_poly(poly: list[np.ndarray]) -> np.ndarray:
 
 
 def _ring_eq(a: np.ndarray, b: np.ndarray) -> bool:
-    ca, cb = _canon_ring(a), _canon_ring(b)
-    return ca.shape == cb.shape and bool(np.allclose(ca, cb, atol=1e-12))
+    return bool(np.array_equal(_canon_ring(a), _canon_ring(b)))
 
 
 def _multiset_eq(parts_a: list[np.ndarray], parts_b: list[np.ndarray]) -> bool:
-    """Order-insensitive comparison of canonicalized parts (sorted by the
-    canonical bytes, then pairwise exact-shape allclose)."""
+    """Order-insensitive comparison of canonicalized (quantized) parts:
+    sorted by the canonical bytes, then pairwise exact — sound because
+    sorting and comparison operate on the same quantized values."""
     if len(parts_a) != len(parts_b):
         return False
     sa = sorted(parts_a, key=lambda p: p.tobytes())
     sb = sorted(parts_b, key=lambda p: p.tobytes())
-    return all(
-        x.shape == y.shape and bool(np.allclose(x, y, atol=1e-12))
-        for x, y in zip(sa, sb)
-    )
+    return all(np.array_equal(x, y) for x, y in zip(sa, sb))
 
 
 def distance_deg(ga: wkt.Geometry, gb: wkt.Geometry) -> float:

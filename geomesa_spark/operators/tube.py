@@ -233,9 +233,13 @@ def route_join(
         delta = F.least(delta, F.lit(360.0) - delta)
         if bidirectional:
             delta = F.least(delta, F.lit(180.0) - delta)
+        # NULL-heading semantics (round-5 advice): a point WITHOUT a heading
+        # is matched on distance alone, same as the non-heading path — the
+        # heading constraint filters only points that assert a conflicting
+        # heading.  coalesce keeps the NULL delta from dropping the row.
         cand = cand.filter(
             (F.col("route_dist_m") <= float(max_dist_m))
-            & (delta <= float(max_heading_delta_deg))
+            & F.coalesce(delta <= float(max_heading_delta_deg), F.lit(True))
         ).drop("_near")
     else:
         # optimizer fence: one route_dist evaluation (see spatial_join.haversine_udf)

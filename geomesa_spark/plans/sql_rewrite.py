@@ -42,28 +42,106 @@ _NUM_TAIL_RE = re.compile(r",\s*([-+0-9.eE]+)D?\s*$")
 #: timestamp literal, with or without the TIMESTAMP keyword
 _TS_LIT = r"(?:TIMESTAMP\s+)?'([0-9][0-9:\-. ]*)'"
 
+#: string literal with SQL-escaped quotes (``'O''Brien'``) — round-5 advice:
+#: ``[^']*`` truncated the capture at the doubled quote, so prefix bounds
+#: with prefix_len>1 collapsed to the wrong partition
+_STR_LIT = r"'((?:[^']|'')*)'"
 
-def _find_time_bounds(query: str, time_col: str) -> tuple[str | None, str | None]:
-    """Literal bounds on ``time_col`` from top-level-conjunct-style
-    comparisons: ``col >= 'lit'`` / ``col < TIMESTAMP 'lit'`` /
-    ``col BETWEEN 'a' AND 'b'``.  Returns the TIGHTEST (lo, hi) seen —
-    multiple conjuncts intersect.  Callers gate on the same NOT/OR
-    rejection as the spatial path, and the bin filter derived from these
-    bounds only PRUNES (the original predicate stays in the query), so a
-    missed pattern degrades to a wider scan, never a wrong answer."""
+_CLAUSE_END_RE = re.compile(
+    r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|WINDOW|QUALIFY|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+_SQL_KEYWORDS = frozenset(
+    "where group order having limit on join inner left right full cross "
+    "as and or not union select from between like in is set".split()
+)
+
+
+def _pruning_scope(query: str) -> str | None:
+    """The conjunct text that literal-bound extraction is allowed to scan:
+    the single top-level WHERE clause, truncated at GROUP BY / ORDER BY /
+    HAVING / LIMIT / set ops.  Returns ``None`` (→ caller disables
+    column-bound pruning, sound) whenever scoping is ambiguous:
+
+    - no WHERE at all (a ``col = 'lit'`` can then only live in a SELECT
+      projection or JOIN condition — not a table-wide conjunct),
+    - more than one WHERE (subqueries make "top-level" ambiguous for a
+      regex scanner),
+    - a CASE expression anywhere (its WHEN arms look like conjuncts), or
+    - a SELECT inside the WHERE clause (correlated subquery).
+
+    Round-5 advice (high): without this scope, ``CASE WHEN event_type =
+    'deploy' ...`` in a projection pruned ``attr_part`` dirs and dropped
+    rows."""
+    if re.search(r"\bCASE\b", query, re.IGNORECASE):
+        return None
+    wheres = list(re.finditer(r"\bWHERE\b", query, re.IGNORECASE))
+    if len(wheres) != 1:
+        return None
+    scope = query[wheres[0].end():]
+    m = _CLAUSE_END_RE.search(scope)
+    if m:
+        scope = scope[: m.start()]
+    if re.search(r"\bSELECT\b", scope, re.IGNORECASE):
+        return None
+    return scope
+
+
+def _table_qualifiers(query: str, table: str) -> frozenset[str]:
+    """Lower-cased qualifiers that refer to the registered table: its own
+    name plus any ``FROM table [AS] alias`` alias detected in the query
+    (keyword tokens excluded so ``FROM t WHERE ...`` does not read WHERE
+    as an alias)."""
+    quals = {table.lower()}
+    for alias in re.findall(
+        rf"\b{re.escape(table)}\b\s+(?:AS\s+)?([A-Za-z_]\w*)", query, re.IGNORECASE
+    ):
+        if alias.lower() not in _SQL_KEYWORDS:
+            quals.add(alias.lower())
+    return frozenset(quals)
+
+
+def _literal_bounds(
+    scope: str, col: str, quals: frozenset[str], lit_pat: str, unescape: bool = False
+) -> tuple[str | None, str | None]:
+    """Literal bounds on ``col`` within a pruning-safe ``scope`` (the
+    single WHERE clause): ``col >= 'lit'`` / ``col = 'lit'`` / ``col
+    BETWEEN 'a' AND 'b'``.  A qualified match (``alias.col``) counts only
+    when the qualifier refers to the registered table — round-5 advice:
+    ``o.event_type = 'x'`` on ANOTHER table must not prune ours.  Returns
+    the TIGHTEST (lo, hi); bounds only PRUNE (the original predicate stays
+    in the query), so a missed pattern degrades to a wider scan, never a
+    wrong answer."""
+
+    def _ok(qual: str) -> bool:
+        return not qual or qual.lower() in quals
+
+    def _lit(s: str) -> str:
+        return s.replace("''", "'") if unescape else s
+
+    qual_col = rf"(?<![\w.'])(?:([A-Za-z_]\w*)\.)?{re.escape(col)}\b"
     los: list[str] = []
     his: list[str] = []
-    for op, lit in re.findall(
-        rf"\b{re.escape(time_col)}\s*(>=|>|<=|<)\s*{_TS_LIT}", query, re.IGNORECASE
+    for qual, op, lit in re.findall(
+        rf"{qual_col}\s*(>=|>|<=|<|=)\s*{lit_pat}", scope, re.IGNORECASE
     ):
-        (los if op in (">=", ">") else his).append(lit)
-    for lo, hi in re.findall(
-        rf"\b{re.escape(time_col)}\s+BETWEEN\s+{_TS_LIT}\s+AND\s+{_TS_LIT}",
-        query,
-        re.IGNORECASE,
+        if not _ok(qual):
+            continue
+        if op == "=":
+            los.append(_lit(lit))
+            his.append(_lit(lit))
+        elif op in (">=", ">"):
+            los.append(_lit(lit))
+        else:
+            his.append(_lit(lit))
+    for qual, lo, hi in re.findall(
+        rf"{qual_col}\s+BETWEEN\s+{lit_pat}\s+AND\s+{lit_pat}", scope, re.IGNORECASE
     ):
-        los.append(lo)
-        his.append(hi)
+        if not _ok(qual):
+            continue
+        los.append(_lit(lo))
+        his.append(_lit(hi))
     return (max(los) if los else None, min(his) if his else None)
 
 
@@ -195,36 +273,25 @@ class SqlEngine:
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def _attr_bounds_from_query(
-        self, query: str, meta: dict
+        self, query: str, meta: dict, name: str
     ) -> tuple[str | None, str | None] | None:
-        """(lo, hi) literal bounds on the attr column from top-level
-        conjuncts (equality → lo == hi); None = no pruning.  Same NOT/OR
-        soundness gate as the spatial path."""
+        """(lo, hi) literal bounds on the attr column from top-level WHERE
+        conjuncts only (equality → lo == hi); None = no pruning.  Gated on
+        the NOT/OR rejection AND the `_pruning_scope` WHERE-clause scoping
+        (round-5 advice: CASE-WHEN / projection / other-table matches must
+        not prune)."""
         if not _no_disjunction(query):
             return None
-        col = meta["attr_col"]
-        los: list[str] = []
-        his: list[str] = []
-        for op, lit in re.findall(
-            rf"\b{re.escape(col)}\s*(=|>=|>|<=|<)\s*'([^']*)'", query
-        ):
-            if op == "=":
-                los.append(lit)
-                his.append(lit)
-            elif op in (">=", ">"):
-                los.append(lit)
-            else:
-                his.append(lit)
-        for lo, hi in re.findall(
-            rf"\b{re.escape(col)}\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'",
-            query,
-            re.IGNORECASE,
-        ):
-            los.append(lo)
-            his.append(hi)
-        if not los and not his:
+        scope = _pruning_scope(query)
+        if scope is None:
             return None
-        return (max(los) if los else None, min(his) if his else None)
+        lo, hi = _literal_bounds(
+            scope, meta["attr_col"], _table_qualifiers(query, name),
+            _STR_LIT, unescape=True,
+        )
+        if lo is None and hi is None:
+            return None
+        return (lo, hi)
 
     def _covers_from_query(self, query: str, bucket_res: int) -> np.ndarray | None:
         if not _no_disjunction(query):
@@ -267,10 +334,10 @@ class SqlEngine:
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
             bin_col = "date_bin" if meta.get("kind") == "attr" else "time_bin"
-            bins = self._bins_from_query(query, meta)
+            bins = self._bins_from_query(query, meta, name)
             if meta.get("kind") == "attr":
                 cover = None
-                bounds = self._attr_bounds_from_query(query, meta)
+                bounds = self._attr_bounds_from_query(query, meta, name)
                 if bounds is None and bins is None:
                     continue
             else:
@@ -309,15 +376,21 @@ class SqlEngine:
                 self.spark.read.parquet(self._tables[name]["path"]).createOrReplaceTempView(name)
 
     def _bins_from_query(
-        self, query: str, meta: dict
+        self, query: str, meta: dict, name: str
     ) -> tuple[int | None, int | None] | None:
         """time_bin bounds for a time-aware layout, or None when the query
-        carries no literal window / the table has none / NOT-OR appears.
-        The bin filter only removes bins FULLY outside the window (floor
-        division both ends) — the exact predicate in the query refines."""
+        carries no literal window / the table has none / NOT-OR appears /
+        the WHERE clause cannot be scoped (`_pruning_scope`).  The bin
+        filter only removes bins FULLY outside the window (floor division
+        both ends) — the exact predicate in the query refines."""
         if not meta.get("time_col") or not _no_disjunction(query):
             return None
-        lo, hi = _find_time_bounds(query, meta["time_col"])
+        scope = _pruning_scope(query)
+        if scope is None:
+            return None
+        lo, hi = _literal_bounds(
+            scope, meta["time_col"], _table_qualifiers(query, name), _TS_LIT
+        )
         if lo is None and hi is None:
             return None
         import pandas as pd
@@ -336,7 +409,7 @@ class SqlEngine:
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
             if meta.get("kind") == "attr":
-                bounds = self._attr_bounds_from_query(query, meta)
+                bounds = self._attr_bounds_from_query(query, meta, name)
                 if bounds is None:
                     out[name] = -1
                 else:
@@ -358,7 +431,7 @@ class SqlEngine:
                 cover = self._covers_from_query(query, meta["bucket_res"])
                 out[name] = -1 if cover is None else len(cover)
             if meta.get("time_col"):
-                bins = self._bins_from_query(query, meta)
+                bins = self._bins_from_query(query, meta, name)
                 out[f"{name}:time_bins"] = (
                     -1 if bins is None or None in bins else bins[1] - bins[0] + 1
                 )

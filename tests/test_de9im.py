@@ -464,3 +464,34 @@ class TestEqualsCanonical:
 
     def test_kind_mismatch(self):
         assert not self._eq("POINT(1 1)", "LINESTRING(1 1, 2 2)")
+
+    def test_sub_quantum_perturbation_all_rotations_directions(self):
+        """Round-5 advice: canonical rotation/direction selection must agree
+        with the comparison tolerance.  Coordinates perturbed below the
+        quantization step (±1e-15) must compare equal under EVERY rotation
+        and direction of the ring — the old exact-tobytes selection could
+        pick different canonical forms for tolerance-equal inputs."""
+        base = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+        a = "POLYGON((" + ", ".join(f"{x} {y}" for x, y in base + base[:1]) + "))"
+        eps = 1e-15
+        for rot in range(4):
+            rolled = base[rot:] + base[:rot]
+            for seq in (rolled, rolled[::-1]):
+                pts = [(x + eps, y - eps) for x, y in seq]
+                b = "POLYGON((" + ", ".join(
+                    f"{x!r} {y!r}" for x, y in pts + pts[:1]
+                ) + "))"
+                assert self._eq(a, b), (rot, seq)
+
+    def test_above_quantum_perturbation_unequal(self):
+        assert not self._eq(
+            "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON((0 0, 4.000000001 0, 4 4, 0 4, 0 0))",
+        )
+
+    def test_negative_zero_normalized(self):
+        # -0.0 and +0.0 must share one canonical byte pattern
+        assert self._eq("POINT(-0.0 0)", "POINT(0 -0.0)")
+        assert self._eq(
+            "LINESTRING(-0.0 1, 2 2)", "LINESTRING(2 2, 0.0 1)"
+        )

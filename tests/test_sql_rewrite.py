@@ -307,3 +307,86 @@ class TestAttrIndexPushdown:
         n = attr_engine.sql("SELECT count(*) AS n FROM events_attr").collect()[0]["n"]
         path = attr_engine._tables["events_attr"]["path"]
         assert n == spark.read.parquet(path).count()
+
+    def test_case_when_projection_does_not_prune(self, spark, attr_engine):
+        """Round-5 advice (high): a literal equality inside a CASE WHEN
+        projection is NOT a WHERE conjunct — pruning on it drops rows."""
+        q = """
+          SELECT event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS flag
+          FROM events_attr
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] == -1
+        got = {(r["event_id"], r["flag"]) for r in attr_engine.sql(q).collect()}
+        full = {(r["event_id"], r["flag"]) for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+        # both flag values present — the un-pruned rows actually survive
+        assert {f for _, f in got} == {0, 1}
+
+    def test_other_table_qualified_column_does_not_prune(
+        self, spark, attr_engine, sf_dir
+    ):
+        """Round-5 advice (high): ``o.event_type = 'x'`` where ``o`` is a
+        DIFFERENT table must not prune events_attr's attr_part dirs."""
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type"
+        ).createOrReplaceTempView("other_events")
+        q = """
+          SELECT e.event_id FROM events_attr e
+          JOIN other_events o ON e.event_id = o.event_id
+          WHERE o.event_type = 'purchase'
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] == -1
+        got = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_own_alias_qualified_column_still_prunes(self, spark, attr_engine):
+        """``e.event_type`` where ``e`` aliases the registered table IS a
+        genuine conjunct — pruning stays on."""
+        q = """
+          SELECT e.event_id FROM events_attr e
+          WHERE e.event_type = 'click'
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] > 0
+        got = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_subquery_in_where_does_not_prune(self, spark, attr_engine, sf_dir):
+        """A correlated subquery's inner conjunct must not leak into the
+        outer table's bounds."""
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type"
+        ).createOrReplaceTempView("other_events2")
+        q = """
+          SELECT event_id FROM events_attr
+          WHERE event_id IN (
+            SELECT event_id FROM other_events2 WHERE event_type = 'purchase'
+          )
+        """
+        assert attr_engine.explain_pruning(q)["events_attr"] == -1
+        got = {r["event_id"] for r in attr_engine.sql(q).collect()}
+        full = {r["event_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_escaped_quote_literal_captured_whole(self, attr_engine):
+        """Round-5 advice (low): ``'O''Brien'`` must capture the full
+        unescaped value, not truncate at the doubled quote (with
+        prefix_len>1 the truncated bound maps to the wrong partition)."""
+        meta = attr_engine._tables["events_attr"]
+        q = "SELECT event_id FROM events_attr WHERE event_type = 'O''Brien'"
+        bounds = attr_engine._attr_bounds_from_query(q, meta, "events_attr")
+        assert bounds == ("O'Brien", "O'Brien")
+
+    def test_case_when_disables_time_pruning_too(self, spark, attr_engine):
+        """The date_bin path is gated by the same WHERE-clause scoping."""
+        q = """
+          SELECT event_id,
+                 CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END AS late
+          FROM events_attr
+        """
+        assert attr_engine.explain_pruning(q)["events_attr:time_bins"] == -1
+        got = {(r["event_id"], r["late"]) for r in attr_engine.sql(q).collect()}
+        full = {(r["event_id"], r["late"]) for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0

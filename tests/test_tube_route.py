@@ -521,6 +521,28 @@ def test_route_join_heading_directed(spark, heading_points):
     assert {r["event_id"] for r in out.collect()} == {1}
 
 
+def test_route_join_null_heading_matches_on_distance(spark):
+    """Round-5 advice: a point with a NULL heading is matched on distance
+    alone (same as the non-heading path) rather than silently dropped by
+    the NULL delta."""
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "lon": [0.3, 0.5, 0.7],
+                "lat": [0.01, 0.01, 0.01],
+                "heading": [92.0, None, 1.0],
+            }
+        )
+    )
+    out = tube.route_join(
+        pts, _EW_ROUTE, max_dist_m=10_000.0, id_col="event_id",
+        heading_col="heading", max_heading_delta_deg=30.0, bidirectional=True,
+    )
+    # 1 aligned → kept; 2 NULL heading → kept (distance only); 3 perpendicular → dropped
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
 def test_route_join_heading_none_matches_distance_only(spark, heading_points):
     """Without heading args the heading column is inert — pure distance
     match, and route_dist_m agrees with the heading path's distances."""
