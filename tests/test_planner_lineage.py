@@ -244,6 +244,43 @@ def test_choose_resolution_skew(spark, sf_dir):
                                      max_rows_per_cell=10**9) == 4
 
 
+def test_choose_resolution_distributed_matches_numpy_reference(spark, sf_dir):
+    """Round-5 verdict item 1: the distributed per-cell histogram (one
+    action, scalar results only) must pick the SAME resolution as the old
+    driver-side numpy histogram over the full skew fixture, at every
+    budget that exercises a different choice."""
+    import numpy as np
+
+    from geomesa_spark import cells
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    pts = sj.extract_geo_points(docs).select("lon", "lat")
+    pdf = pts.toPandas()  # test oracle only — the engine path never collects
+    lons = pdf["lon"].to_numpy(np.float64)
+    lats = pdf["lat"].to_numpy(np.float64)
+    cand = (4, 6, 8, 10)
+
+    def numpy_choice(budget):
+        for res in sorted(cand):
+            c = cells.encode(lons, lats, res)
+            _, counts = np.unique(c[c >= 0], return_counts=True)
+            if counts.max() <= budget:
+                return res
+        return max(cand)
+
+    hottest_fine = None
+    for budget in (1, 50, 500, 5_000, 10**9):
+        got = planner.choose_resolution(
+            pts, candidate_res=cand, sample=1.0, max_rows_per_cell=budget
+        )
+        assert got == numpy_choice(budget), budget
+
+
+def test_choose_resolution_empty_input(spark):
+    empty = spark.createDataFrame([], "lon double, lat double")
+    assert planner.choose_resolution(empty, candidate_res=(6, 8), sample=1.0) == 6
+
+
 class TestLineageResume:
     def _points(self, spark, sf_dir):
         docs = corpus.load_documents_spans(spark, sf_dir)
