@@ -591,33 +591,23 @@ def write_partitioned_geoms(
     )
 
 
-def scan_partitioned_geoms(
-    spark: SparkSession, path: str, query_wkt: str,
+def xz_prune_condition(
+    lon0: float, lat0: float, lon1: float, lat1: float,
     max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4,
-    time_range: tuple[str, str] | None = None, time_bin_days: int | None = None,
-) -> DataFrame:
-    """Pruned candidate scan over an XZ2 layout: for each level, keep only
-    buckets whose cells can intersect the query bbox.  The filter is a
-    disjunction of (xz_level = L AND xz_bucket IN (...)) terms — all
+) -> F.Column:
+    """(xz_level, xz_bucket) partition-prune disjunction for a query bbox:
+    for each level, the buckets whose cells can intersect the bbox.  All
     partition-column comparisons, so Catalyst directory-prunes before any
-    row is read.  Candidates may repeat per key row: callers that need
-    per-feature rows must dropDuplicates on their id after refine (keys of
-    ONE query geometry can hit 2+ key rows of the same stored feature).
-
-    ``time_range`` (against an XZ3 layout with ``time_bin=`` dirs) adds a
-    time_bin BETWEEN term — the time dimension prunes too; the caller
-    applies the exact fine-grained timestamp filter."""
-    from ..plans.planner import TIME_BIN_DAYS, extract_bounds
-
-    lon0, lat0, lon1, lat1 = extract_bounds(query_wkt)
+    row is read.  Complete: a stored geometry intersecting the query has
+    ≥1 key cell intersecting the query bbox (key cells cover the stored
+    geometry), and that key cell's ancestor at r lies in the bbox cover
+    at r.  Shared by :func:`scan_partitioned_geoms` and the SQL pushdown
+    (``plans.sql_rewrite.SqlEngine.register_geom_parquet``)."""
     terms = []
     for lv in range(0, max_res + 1):
         r = min(lv, bucket_res)
         cov, rr = cells.cover_bbox(lon0, lat0, lon1, lat1, r)
         cov = np.unique(cells.parent(cov, rr - r)) if rr > r else cov
-        # complete: a stored geometry intersecting the query has ≥1 key
-        # cell intersecting the query bbox (key cells cover the bbox), and
-        # that key cell's ancestor at r lies in the bbox cover at r
         buckets = sorted(int(b) for b in cov)
         terms.append(
             (F.col("xz_level") == lv) & F.col("xz_bucket").isin(buckets)
@@ -625,6 +615,28 @@ def scan_partitioned_geoms(
     cond = terms[0]
     for t in terms[1:]:
         cond = cond | t
+    return cond
+
+
+def scan_partitioned_geoms(
+    spark: SparkSession, path: str, query_wkt: str,
+    max_res: int = DEFAULT_MAX_RES, bucket_res: int = 4,
+    time_range: tuple[str, str] | None = None, time_bin_days: int | None = None,
+) -> DataFrame:
+    """Pruned candidate scan over an XZ2 layout: for each level, keep only
+    buckets whose cells can intersect the query bbox (see
+    :func:`xz_prune_condition`).  Candidates may repeat per key row:
+    callers that need per-feature rows must dropDuplicates on their id
+    after refine (keys of ONE query geometry can hit 2+ key rows of the
+    same stored feature).
+
+    ``time_range`` (against an XZ3 layout with ``time_bin=`` dirs) adds a
+    time_bin BETWEEN term — the time dimension prunes too; the caller
+    applies the exact fine-grained timestamp filter."""
+    from ..plans.planner import TIME_BIN_DAYS, extract_bounds
+
+    lon0, lat0, lon1, lat1 = extract_bounds(query_wkt)
+    cond = xz_prune_condition(lon0, lat0, lon1, lat1, max_res, bucket_res)
     df = spark.read.parquet(path).filter(cond)
     if time_range is not None and "time_bin" in df.columns:
         width = 86400 * (time_bin_days or TIME_BIN_DAYS)

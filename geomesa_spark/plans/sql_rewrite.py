@@ -272,6 +272,93 @@ class SqlEngine:
         )
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    def register_geom_parquet(
+        self, name: str, path: str, id_col: str = "geom_id",
+        max_res: int | None = None, bucket_res: int = 4,
+        time_col: str | None = None, time_bin_days: int = planner.TIME_BIN_DAYS,
+    ) -> None:
+        """Register an XZ2/XZ3 geometry layout (``operators/xz2.
+        write_partitioned_geoms`` output) for pushdown — round-5 verdict
+        item 2 (GeoMesa's XZ2/XZ3 index strategies as a SQL rewrite).
+
+        The registered view exposes the FEATURE table: key/bin columns
+        dropped and one row per ``id_col``.  The raw layout stores each
+        feature once per XZ key (≤4×) and partition pruning keeps only the
+        keys near the literal, so raw-row multiplicities would differ
+        between pruned and full scans; deduping by feature id makes both
+        views identical (a feature's key rows are byte-identical after the
+        key columns are dropped).
+
+        A literal ``st_contains/st_intersects/st_within`` geometry or
+        ``st_dwithin`` (radius-padded) prunes the ``xz_level=L/xz_bucket=B``
+        dirs with exactly the per-level ancestor-probe cover that
+        ``operators/xz2.scan_partitioned_geoms`` uses; with ``time_col``
+        (an XZ3 layout with ``time_bin=`` dirs) a literal time window
+        prunes the time dimension too.  The user's own predicate stays in
+        the query as the exact refine."""
+        from ..operators import xz2 as xz  # local: no operator import at module load
+
+        self._tables[name] = dict(
+            path=path, kind="geom", id_col=id_col,
+            max_res=xz.DEFAULT_MAX_RES if max_res is None else max_res,
+            bucket_res=bucket_res, time_col=time_col,
+            time_bin_days=time_bin_days,
+        )
+        self._geom_payload_df(self._tables[name]).createOrReplaceTempView(name)
+
+    def _geom_payload_df(self, meta: dict, df: DataFrame | None = None) -> DataFrame:
+        """Feature view of an XZ layout: key/bin columns dropped, one row
+        per feature id (key-duplicate rows are identical after the drop,
+        so the dedupe is value-stable)."""
+        if df is None:
+            df = self.spark.read.parquet(meta["path"])
+        drop = [c for c in ("xz_level", "xz_cell", "xz_bucket", "time_bin") if c in df.columns]
+        return df.drop(*drop).dropDuplicates([meta["id_col"]])
+
+    def _geom_bbox_from_query(
+        self, query: str
+    ) -> tuple[float, float, float, float] | None:
+        """Union bbox of every literal spatial predicate in the query
+        (st_dwithin literals radius-padded, lat-aware); None = no literal /
+        unparseable / NOT-OR → no pruning (sound).  Any stored geometry
+        satisfying contains/within/intersects/dwithin against a literal
+        intersects this (padded) bbox, so the per-level bucket cover keeps
+        ≥1 of its key rows."""
+        if not _no_disjunction(query):
+            return None
+        from ..geo import kernels
+
+        boxes: list[tuple[float, float, float, float]] = []
+        try:
+            for _, wkt_text in _PRED_RE.findall(query):
+                if wkt.parse_wkt(wkt_text) is None:
+                    return None
+                boxes.append(planner.extract_bounds(wkt_text))
+            for spec in _find_dwithin(query):
+                if spec[0] == "point":
+                    _, lon, lat, meters = spec
+                    box = (lon, lat, lon, lat)
+                else:  # ("wkt", text, meters)
+                    if wkt.parse_wkt(spec[1]) is None:
+                        return None
+                    box = planner.extract_bounds(spec[1])
+                    meters = spec[2]
+                pad_lat = float(np.degrees(meters / kernels.EARTH_RADIUS_M))
+                lat_ref = min(max(abs(box[1]), abs(box[3])) + pad_lat, 89.999)
+                pad_lon = pad_lat / max(np.cos(np.radians(lat_ref)), 1e-6)
+                boxes.append(
+                    (box[0] - pad_lon, max(box[1] - pad_lat, -90.0),
+                     box[2] + pad_lon, min(box[3] + pad_lat, 90.0))
+                )
+        except (ValueError, TypeError):
+            return None  # unparseable literal → no pruning (sound)
+        if not boxes:
+            return None
+        return (
+            min(b[0] for b in boxes), min(b[1] for b in boxes),
+            max(b[2] for b in boxes), max(b[3] for b in boxes),
+        )
+
     def _attr_bounds_from_query(
         self, query: str, meta: dict, name: str
     ) -> tuple[str | None, str | None] | None:
@@ -335,6 +422,28 @@ class SqlEngine:
                 continue
             bin_col = "date_bin" if meta.get("kind") == "attr" else "time_bin"
             bins = self._bins_from_query(query, meta, name)
+            if meta.get("kind") == "geom":
+                bbox = self._geom_bbox_from_query(query)
+                if bbox is None and bins is None:
+                    continue
+                from ..operators import xz2 as xz
+
+                df = self.spark.read.parquet(meta["path"])
+                if bbox is not None:
+                    df = df.filter(
+                        xz.xz_prune_condition(
+                            *bbox, meta["max_res"], meta["bucket_res"]
+                        )
+                    )
+                if bins is not None:
+                    b0, b1 = bins
+                    if b0 is not None:
+                        df = df.filter(F.col("time_bin") >= b0)
+                    if b1 is not None:
+                        df = df.filter(F.col("time_bin") <= b1)
+                self._geom_payload_df(meta, df).createOrReplaceTempView(name)
+                pruned.append(name)
+                continue
             if meta.get("kind") == "attr":
                 cover = None
                 bounds = self._attr_bounds_from_query(query, meta, name)
@@ -373,7 +482,11 @@ class SqlEngine:
         finally:
             # restore full views so later queries see the whole table
             for name in pruned:
-                self.spark.read.parquet(self._tables[name]["path"]).createOrReplaceTempView(name)
+                meta = self._tables[name]
+                if meta.get("kind") == "geom":
+                    self._geom_payload_df(meta).createOrReplaceTempView(name)
+                else:
+                    self.spark.read.parquet(meta["path"]).createOrReplaceTempView(name)
 
     def _bins_from_query(
         self, query: str, meta: dict, name: str
@@ -408,7 +521,26 @@ class SqlEngine:
         for name, meta in self._tables.items():
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
-            if meta.get("kind") == "attr":
+            if meta.get("kind") == "geom":
+                bbox = self._geom_bbox_from_query(query)
+                if bbox is None:
+                    out[name] = -1
+                else:
+                    from ..operators import xz2 as xz
+
+                    parts = self.spark.read.parquet(meta["path"]).select(
+                        "xz_level", "xz_bucket"
+                    )
+                    out[name] = (
+                        parts.filter(
+                            xz.xz_prune_condition(
+                                *bbox, meta["max_res"], meta["bucket_res"]
+                            )
+                        )
+                        .distinct()
+                        .count()
+                    )
+            elif meta.get("kind") == "attr":
                 bounds = self._attr_bounds_from_query(query, meta, name)
                 if bounds is None:
                     out[name] = -1

@@ -227,6 +227,171 @@ class TestSpacetimePushdown:
         assert got == full and len(got) > 0
 
 
+def _box_wkt(x0, y0, x1, y1):
+    return f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+
+def _random_boxes(n, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-160, 160, n)
+    cy = rng.uniform(-75, 75, n)
+    w = rng.uniform(0.5, 25.0, n)
+    h = rng.uniform(0.5, 15.0, n)
+    return [
+        (f"g{i}", _box_wkt(cx[i] - w[i] / 2, cy[i] - h[i] / 2,
+                           cx[i] + w[i] / 2, cy[i] + h[i] / 2))
+        for i in range(n)
+    ]
+
+
+class TestGeomLayoutPushdown:
+    """Round-5 verdict item 2: literal spatial predicates over an XZ2/XZ3
+    geometry layout prune the (xz_level, xz_bucket) [+ time_bin] dirs; the
+    registered view is the deduped feature table so pruned == full."""
+
+    QUERY_BOX = _box_wkt(0, 0, 30, 30)
+
+    @pytest.fixture(scope="class")
+    def geom_engine(self, spark, tmp_path_factory):
+        import pandas as pd
+
+        from geomesa_spark.operators import xz2
+
+        boxes = _random_boxes(200)
+        geoms = spark.createDataFrame(pd.DataFrame(boxes, columns=["geom_id", "wkt"]))
+        path = str(tmp_path_factory.mktemp("sqlgeom") / "shapes")
+        xz2.write_partitioned_geoms(geoms, path)
+        eng = sql_rewrite.SqlEngine(spark)
+        eng.register_geom_parquet("geo_shapes", path, id_col="geom_id")
+        return eng, boxes
+
+    def test_view_is_deduped_feature_table(self, spark, geom_engine):
+        eng, boxes = geom_engine
+        df = spark.sql("SELECT * FROM geo_shapes")
+        assert set(df.columns) == {"geom_id", "wkt"}
+        assert df.count() == len(boxes)
+
+    def test_intersects_literal_prunes_and_matches(self, spark, geom_engine):
+        eng, _ = geom_engine
+        q = f"""
+          SELECT geom_id FROM geo_shapes
+          WHERE st_intersects(st_geomFromWKT('{self.QUERY_BOX}'),
+                              st_geomFromWKT(wkt))
+        """
+        path = eng._tables["geo_shapes"]["path"]
+        n_dirs = (
+            spark.read.parquet(path).select("xz_level", "xz_bucket").distinct().count()
+        )
+        assert 0 < eng.explain_pruning(q)["geo_shapes"] < n_dirs
+        pruned = {r["geom_id"] for r in eng.sql(q).collect()}
+        full = {r["geom_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_contains_literal_matches(self, spark, geom_engine):
+        eng, _ = geom_engine
+        big = _box_wkt(-60, -60, 60, 60)
+        q = f"""
+          SELECT geom_id FROM geo_shapes
+          WHERE st_contains(st_geomFromWKT('{big}'), st_geomFromWKT(wkt))
+        """
+        pruned = {r["geom_id"] for r in eng.sql(q).collect()}
+        full = {r["geom_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_dwithin_literal_padded_matches(self, spark, geom_engine):
+        eng, _ = geom_engine
+        q = """
+          SELECT geom_id FROM geo_shapes
+          WHERE st_dwithin(st_geomFromWKT('POINT(10 10)'),
+                           st_geomFromWKT(wkt), 500000.0D)
+        """
+        assert eng.explain_pruning(q)["geo_shapes"] > 0
+        pruned = {r["geom_id"] for r in eng.sql(q).collect()}
+        full = {r["geom_id"] for r in spark.sql(q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_or_disables_pruning(self, spark, geom_engine):
+        eng, _ = geom_engine
+        q = f"""
+          SELECT geom_id FROM geo_shapes
+          WHERE st_intersects(st_geomFromWKT('{self.QUERY_BOX}'),
+                              st_geomFromWKT(wkt))
+             OR geom_id = 'g0'
+        """
+        assert eng.explain_pruning(q)["geo_shapes"] == -1
+        got = {r["geom_id"] for r in eng.sql(q).collect()}
+        full = {r["geom_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_after_pruned_query_view_restored(self, spark, geom_engine):
+        eng, boxes = geom_engine
+        q = f"""
+          SELECT geom_id FROM geo_shapes
+          WHERE st_intersects(st_geomFromWKT('{self.QUERY_BOX}'),
+                              st_geomFromWKT(wkt))
+        """
+        eng.sql(q).collect()
+        assert spark.sql("SELECT count(*) AS n FROM geo_shapes").collect()[0]["n"] == len(boxes)
+
+
+class TestXZ3GeomPushdown:
+    """XZ3 layout (time_bin ⊕ xz_level ⊕ xz_bucket): a literal spatial
+    predicate AND a literal time window prune all three dimensions."""
+
+    @pytest.fixture(scope="class")
+    def xz3_engine(self, spark, tmp_path_factory):
+        import pandas as pd
+
+        from geomesa_spark.operators import xz2
+
+        boxes = _random_boxes(400, seed=11)
+        ts = [
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=5 * i)
+            for i in range(len(boxes))
+        ]
+        rows = [(gid, w, t) for (gid, w), t in zip(boxes, ts)]
+        geoms = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["geom_id", "wkt", "ts"])
+        )
+        path = str(tmp_path_factory.mktemp("sqlxz3") / "shapes")
+        xz2.write_partitioned_geoms(geoms, path, time_col="ts")
+        eng = sql_rewrite.SqlEngine(spark)
+        eng.register_geom_parquet("geo_shapes_t", path, id_col="geom_id", time_col="ts")
+        return eng
+
+    Q = f"""
+      SELECT geom_id FROM geo_shapes_t
+      WHERE st_intersects(st_geomFromWKT('{_box_wkt(-40, -40, 40, 40)}'),
+                          st_geomFromWKT(wkt))
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts < TIMESTAMP '2024-01-22 00:00:00'
+    """
+
+    def test_all_dims_prune_and_match(self, spark, xz3_engine):
+        stats = xz3_engine.explain_pruning(self.Q)
+        path = xz3_engine._tables["geo_shapes_t"]["path"]
+        full_df = spark.read.parquet(path)
+        n_dirs = full_df.select("xz_level", "xz_bucket").distinct().count()
+        n_bins = full_df.select("time_bin").distinct().count()
+        assert 0 < stats["geo_shapes_t"] < n_dirs
+        assert 0 < stats["geo_shapes_t:time_bins"] < n_bins
+        pruned = {r["geom_id"] for r in xz3_engine.sql(self.Q).collect()}
+        full = {r["geom_id"] for r in spark.sql(self.Q).collect()}
+        assert pruned == full and len(pruned) > 0
+
+    def test_time_only_window_matches(self, spark, xz3_engine):
+        q = """
+          SELECT count(*) AS n FROM geo_shapes_t
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        """
+        n = xz3_engine.sql(q).collect()[0]["n"]
+        full = spark.sql(q).collect()[0]["n"]
+        assert n == full and n > 0
+
+
 class TestAttrIndexPushdown:
     """Round-4 capstone: GeoMesa's attribute-index strategy selection as a
     SQL rewrite — a literal equality/range conjunct on the registered
