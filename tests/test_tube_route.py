@@ -223,6 +223,84 @@ class TestTrackHausdorff:
         }
         assert got == want and len(got) == 12
 
+    def _track_fixture(self, spark, n_tracks=40, pts_per=10, seed=5):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(-170, 170, n_tracks)
+        cy = rng.uniform(-80, 80, n_tracks)
+        rows = []
+        for u in range(n_tracks):
+            walk = rng.normal(0, 2.0, (pts_per, 2)).cumsum(axis=0)
+            for i in range(pts_per):
+                rows.append(
+                    (u, u * pts_per + i,
+                     float(np.clip(cx[u] + walk[i, 0], -179.9, 179.9)),
+                     float(np.clip(cy[u] + walk[i, 1], -89.9, 89.9)))
+                )
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_id", "lon", "lat"])
+        )
+
+    def test_shuffle_fallback_bit_identical_to_broadcast(self, spark):
+        """Round-5 verdict item 3: the non-broadcast pair-bounds path (a
+        shuffle hash join on the same bucket key) must produce the exact
+        same output, and its plan must contain a ShuffledHashJoin and no
+        nested-loop/cartesian node."""
+        from geomesa_spark.operators.tube import track_hausdorff
+
+        df = self._track_fixture(spark)
+        bcast = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff(df, broadcast_summaries=True).collect()
+        }
+        shuffled_df = track_hausdorff(df, broadcast_summaries=False)
+        shuffled = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in shuffled_df.collect()
+        }
+        assert shuffled == bcast and len(shuffled) == 40 * 39
+        plan = shuffled_df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_auto_switches_to_shuffle_above_threshold(self, spark):
+        """With an artificially tiny autoBroadcastJoinThreshold, "auto"
+        must pick the shuffle path (summary estimate exceeds it) and stay
+        bit-identical; with the threshold restored, "auto" broadcasts."""
+        from geomesa_spark.operators.tube import track_hausdorff
+
+        df = self._track_fixture(spark, n_tracks=20, seed=9)
+        want = {
+            (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+            for r in track_hausdorff(df, broadcast_summaries=True).collect()
+        }
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "64b")
+            auto_df = track_hausdorff(df, broadcast_summaries="auto")
+            got = {
+                (r["ua"], r["ub"]): r["hausdorff_deg2_x1e9"]
+                for r in auto_df.collect()
+            }
+            assert got == want
+            plan = auto_df._jdf.queryExecution().executedPlan().toString()
+            assert "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.set(key, old)
+
+    def test_parse_size_bytes(self):
+        from geomesa_spark.operators.tube import _parse_size_bytes
+
+        assert _parse_size_bytes("10485760") == 10 << 20
+        assert _parse_size_bytes("10m") == 10 << 20
+        assert _parse_size_bytes("8MB") == 8 << 20
+        assert _parse_size_bytes("1g") == 1 << 30
+        assert _parse_size_bytes("64b") == 64
+        assert _parse_size_bytes("-1") == -1
+
 
 class TestGeofenceTransitions:
     def test_enter_exit_switch_and_priority(self, spark):
