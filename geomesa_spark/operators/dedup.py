@@ -161,6 +161,106 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>) — character-shingle MinHash on an md5 basis,
+    oracle-portable (round-5 verdict item 4: the playbook that oracle-backed
+    ``embedding_near_dup``): h(s) = the first 15 hex chars of md5(utf8(s))
+    as int64 (60 bits), sig_i = min over DISTINCT k-char shingles of
+    lower(text) of ``h(s) XOR C_i`` with C_i = first-15-hex of md5(str(i)).
+    All values stay below 2^60, so signed and unsigned min agree and DuckDB
+    reproduces every signature bit-for-bit.  Texts shorter than k are
+    space-padded to one shingle (rpad semantics).  Arrow-batched; md5 runs
+    once per distinct shingle."""
+    import hashlib
+
+    consts = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in range(num_perm)
+    ]
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        cv = np.asarray(consts, dtype=np.int64)
+        out = []
+        for t in texts.to_numpy(object):
+            t = (t or "").lower()
+            if len(t) < shingle_k:
+                t = t.ljust(shingle_k)
+            sset = {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    for s in sset
+                ),
+                dtype=np.int64,
+                count=len(sset),
+            )
+            out.append(np.bitwise_xor(hs[:, None], cv[None, :]).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, bands: int = 4, shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded LSH over :func:`minhash_signatures_md5` — the same narrow
+    (id, band, bucket) self-join plan as :func:`minhash_lsh_pairs`, with a
+    DuckDB-replicable hash basis.  Returns (id_a, id_b, n_match INT): the
+    integer count of matching signature slots (the estimate n_match /
+    num_perm stays ≥ threshold via integer comparison, no float edge)."""
+    from ..cache import swap_cache
+
+    r = num_perm // bands
+    sigs = swap_cache(
+        "minhash_lsh_pairs_md5.sigs",
+        minhash_signatures_md5(df, text_col, id_col, num_perm, shingle_k),
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    )
+    n_match = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ).cast("int")
+    pct = int(round(jaccard_threshold * 100))
+    return (
+        cand.withColumn("n_match", n_match)
+        .filter(F.col("n_match") * 100 >= num_perm * pct)
+        .select("id_a", "id_b", "n_match")
+    )
+
+
 def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over whitespace tokens, numpy
     bit-count accumulation per Arrow batch."""
@@ -188,18 +288,64 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+def simhash_bits_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ k via block-split candidate
-    generation: split 64 bits into k+1 blocks; any pair within distance k
-    agrees exactly on ≥1 block (pigeonhole) → equi-join per block, then
-    exact popcount verify.  Shuffles only on 16-bit block keys."""
-    from ..cache import swap_cache
+    """(id, simhash) — the md5-basis SimHash as an Arrow/numpy kernel:
+    bit-for-bit the same values as :func:`simhash_values_jvm` (parity-
+    tested), so a DuckDB oracle reproduces them.  Bit j of a token's
+    weight vector is bit ``j % 16`` of the int of hex chars
+    ``[4·(j//16), 4·(j//16)+4)`` of md5(token); the document hash is the
+    sign (≥0 → 1) of the per-bit ±1 sum over DISTINCT tokens of
+    ``split(lower(text), ' ')`` with empties dropped.  Rows with no
+    tokens yield null (callers filter), mirroring the JVM tier's
+    ``size(toks) > 0`` gate."""
+    assert 1 <= n_bits <= 128
+    n_groups = (n_bits + 15) // 16
 
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        jj = np.arange(16, dtype=np.uint64)
+        out: list[int | None] = []
+        for t in texts.to_numpy(object):
+            toks = {x for x in (t or "").lower().split(" ") if x}
+            if not toks:
+                out.append(None)
+                continue
+            hexes = [hashlib.md5(tok.encode("utf-8")).hexdigest() for tok in toks]
+            vals = np.array(
+                [
+                    [int(h[4 * g : 4 * g + 4], 16) for g in range(n_groups)]
+                    for h in hexes
+                ],
+                dtype=np.uint64,
+            )  # (ntok, n_groups)
+            bits = (vals[:, :, None] >> jj[None, None, :]) & np.uint64(1)
+            bits = bits.reshape(len(hexes), n_groups * 16)[:, :n_bits]
+            acc = np.where(bits == 1, 1, -1).sum(axis=0)
+            val = (
+                (acc >= 0).astype(np.uint64)
+                << np.arange(n_bits, dtype=np.uint64)
+            ).sum(dtype=np.uint64)
+            out.append(int(val.view(np.int64) if n_bits == 64 else np.int64(val)))
+        return pd.Series(out, dtype=object)
+
+    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash")).filter(
+        F.col("simhash").isNotNull()
+    )
+
+
+def simhash_pairs_from_bits(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Block-split candidate join + exact popcount verify over a
+    (id, simhash) table — the shared stage of :func:`simhash_pairs` and
+    :func:`simhash_pairs_md5`.  Split 64 bits into ``max_hamming + 1``
+    blocks; any pair within distance ≤ max_hamming agrees exactly on ≥1
+    block (pigeonhole — bits past ``width·nblocks`` are outside every
+    block, which only ADDS candidates), then exact Hamming verify."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = swap_cache("simhash_pairs.bits", simhash_bits(df, text_col, id_col))
     blocks = sh.select(
         "id",
         "simhash",
@@ -239,6 +385,31 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ k (crc32-basis numpy tier):
+    :func:`simhash_bits` → :func:`simhash_pairs_from_bits`.  Shuffles only
+    on block keys."""
+    from ..cache import swap_cache
+
+    sh = swap_cache("simhash_pairs.bits", simhash_bits(df, text_col, id_col))
+    return simhash_pairs_from_bits(sh, max_hamming)
+
+
+def simhash_pairs_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over the md5-basis 64-bit SimHash — same block-join
+    plan as :func:`simhash_pairs`, oracle-portable values (round-5 verdict
+    item 4): a DuckDB brute-force n² over the identical md5-derived hashes
+    must produce the same pair set."""
+    from ..cache import swap_cache
+
+    sh = swap_cache("simhash_pairs_md5.bits", simhash_bits_md5(df, text_col, id_col))
+    return simhash_pairs_from_bits(sh, max_hamming)
 
 
 def embedding_near_dup(

@@ -58,6 +58,56 @@ def test_minhash_signature_deterministic(spark, near_dup_df):
     assert by_id["d000"] == by_id["d900"]  # identical text → identical sig
 
 
+def test_minhash_md5_tier_planted_pairs_and_hash_basis(spark, near_dup_df):
+    """Round-5 verdict item 4: the md5-basis shingle tier finds the planted
+    dups, and its signatures equal a hashlib/numpy reference built from the
+    documented definition (15-hex md5 → xor with md5(i) → min)."""
+    import hashlib
+
+    pairs = dedup.minhash_lsh_pairs_md5(near_dup_df, jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["n_match"] for r in pairs.collect()}
+    assert got[("d000", "d900")] == 16  # exact dup: every slot matches
+    assert ("d001", "d902") in got  # near dup
+    assert not any("d903" in p for pair in got for p in pair)
+
+    sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures_md5(near_dup_df).collect()}
+    texts = {r["doc_id"]: r["text"] for r in near_dup_df.collect()}
+
+    def ref_sig(t, num_perm=16, k=5):
+        t = t.lower()
+        if len(t) < k:
+            t = t.ljust(k)
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        hs = sorted(set(hs))
+        return [
+            min(h ^ int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for h in hs)
+            for i in range(num_perm)
+        ]
+
+    for did in ("d000", "d001", "d903"):
+        assert sigs[did] == ref_sig(texts[did]), did
+
+
+def test_simhash_md5_tier_matches_jvm_values_at_64_bits(spark, near_dup_df):
+    """The Arrow/numpy md5 SimHash must be bit-identical to
+    simhash_values_jvm(n_bits=64) — the property the DuckDB oracle twin
+    relies on — and the blocked pair join must find the planted dups."""
+    py = {r["id"]: r["simhash"] for r in dedup.simhash_bits_md5(near_dup_df).collect()}
+    jvm = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_values_jvm(near_dup_df, "text", "doc_id", 64).collect()
+    }
+    assert py == jvm and len(py) == near_dup_df.count()
+
+    pairs = dedup.simhash_pairs_md5(near_dup_df, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[("d000", "d900")] == 0
+    assert ("d001", "d902") in got
+
+
 def test_simhash_pairs(spark, near_dup_df):
     pairs = dedup.simhash_pairs(near_dup_df, max_hamming=6)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
