@@ -3,12 +3,14 @@ corpus.
 
 The corpus carries media as opaque references (``media_ref``) or raw
 ``binary`` payloads with typed metadata.  The decode stage is REAL for
-PNG / BMP / PPM images and PCM16 WAV audio — pure numpy + stdlib codecs
-written from the public format specs (functions/media_codecs.py: zlib
-inflate, PNG scanline unfiltering incl. Paeth, BMP/PPM header parsing,
-bilinear resize, pixel-statistics features).  Only formats that genuinely
-need an external codec (JPEG entropy coding, video containers) remain
-behind the PIL/ffmpeg seam, marked with ``NotImplementedError``.
+PNG / BMP / PPM / baseline JPEG images and PCM16 WAV audio — pure numpy +
+stdlib codecs written from the public format specs
+(functions/media_codecs.py, functions/jpeg.py: zlib inflate, PNG scanline
+unfiltering incl. Paeth, JPEG Huffman entropy decode + IDCT, BMP/PPM
+header parsing, bilinear resize, pixel-statistics features).  Only
+formats that genuinely need an external codec (video containers,
+progressive/arithmetic JPEG) remain behind the PIL/ffmpeg seam, marked
+with ``NotImplementedError``.
 
 When rows carry no payload bytes (the span corpus stores refs only), the
 payload is SYNTHESIZED deterministically from the ref, partition-local —
@@ -31,8 +33,8 @@ from pyspark.sql import DataFrame
 
 from ..functions import media_codecs
 
-#: PIL remains the seam for JPEG/TIFF/...; the formats above decode
-#: without it
+#: PIL remains the seam for TIFF/progressive-JPEG/...; the formats above
+#: (incl. baseline JPEG) decode without it
 try:  # pragma: no cover
     import PIL.Image  # noqa: F401
 
@@ -101,12 +103,13 @@ def media_features(
     batch-iterator shape a real GPU/CPU decoder pipeline needs (one
     partition = one decode session; batches stream through Arrow).
 
-    The decode is REAL (media_codecs: PNG inflate + unfilter, BMP, PPM);
-    features are actual pixel statistics (channel means, contrast, coarse
-    bilinear thumbnail).  ``bytes_col`` names a binary payload column; when
-    absent, payloads are synthesized deterministically from ``media_ref``
-    inside the partition (synthetic data, real decode).  JPEG/video rows
-    would hit the declared PIL/ffmpeg seam in media_codecs.decode_image.
+    The decode is REAL (media_codecs: PNG inflate + unfilter, BMP, PPM,
+    baseline-JPEG Huffman + IDCT); features are actual pixel statistics
+    (channel means, contrast, coarse bilinear thumbnail).  ``bytes_col``
+    names a binary payload column; when absent, payloads are synthesized
+    deterministically from ``media_ref`` inside the partition (synthetic
+    data, real decode).  Video / non-baseline-JPEG rows would hit the
+    declared PIL/ffmpeg seam in media_codecs.decode_image.
 
     Output: FEATURE_SCHEMA rows; media bytes never leave the partition.
 

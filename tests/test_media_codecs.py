@@ -107,9 +107,15 @@ class TestSniffDispatch:
         assert mc.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
         assert mc.sniff(b"??") is None
 
-    def test_jpeg_is_the_declared_seam(self):
+    def test_non_baseline_jpeg_is_the_declared_seam(self, rng):
+        """Progressive (SOF2) stays behind the PIL seam; baseline decodes
+        offline (round-5 verdict item 5)."""
+        img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        data = bytearray(mc.encode_jpeg(img))
+        i = bytes(data).find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
         with pytest.raises(NotImplementedError):
-            mc.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+            mc.decode_image(bytes(data))
 
 
 class TestPixelOps:
@@ -152,17 +158,105 @@ class TestPixelOps:
         assert silent[0] == 0.0
 
 
+class TestJpeg:
+    """Baseline JPEG codec (functions/jpeg.py, ITU-T T.81) — round-5
+    verdict item 5: synthetic round-trips, every decoder branch (sampling
+    factors, restart intervals, grayscale), header parse, dispatch."""
+
+    def _grad(self, h, w, seed=3):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [xx * 255 / max(w - 1, 1), yy * 255 / max(h - 1, 1),
+             (xx + yy) * 255 / max(w + h - 2, 1)], axis=2)
+        return np.clip(base + rng.integers(0, 32, (h, w, 3)), 0, 255).astype(np.uint8)
+
+    def test_roundtrip_error_bounded_and_quality_monotone(self):
+        from geomesa_spark.functions import jpeg
+
+        img = self._grad(45, 61)
+        errs = []
+        for q in (50, 75, 92):
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+            assert out.shape == img.shape and out.dtype == np.uint8
+            errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+        assert errs[-1] < errs[0] < 12.0  # lossy but close; higher q → closer
+
+    def test_flat_image_roundtrips_exactly(self):
+        from geomesa_spark.functions import jpeg
+
+        for v in (0, 128, 200):
+            img = np.full((24, 17, 3), v, np.uint8)
+            assert (jpeg.decode_jpeg(jpeg.encode_jpeg(img, 75)) == img).all()
+        gray = np.full((9, 9, 1), 77, np.uint8)
+        assert (jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 75)) == gray).all()
+
+    def test_grayscale_and_odd_dims(self):
+        from geomesa_spark.functions import jpeg
+
+        img = self._grad(33, 20)[:, :, :1]
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85))
+        assert out.shape == (33, 20, 1)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 8.0
+        tiny = jpeg.decode_jpeg(jpeg.encode_jpeg(self._grad(1, 1), 75))
+        assert tiny.shape == (1, 1, 3)
+
+    def test_subsampling_modes_decode(self):
+        from geomesa_spark.functions import jpeg
+
+        img = self._grad(45, 61)
+        for sub in ("444", "422", "420"):
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 80, subsampling=sub))
+            assert out.shape == img.shape
+            assert np.abs(out.astype(int) - img.astype(int)).mean() < 12.0, sub
+
+    def test_restart_intervals_bit_exact(self):
+        """The SAME quantized image must reconstruct identically whether
+        the scan uses restart markers or not (DRI/RSTn path)."""
+        from geomesa_spark.functions import jpeg
+
+        img = self._grad(45, 61)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 80))
+        for ri in (1, 2, 5):
+            got = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 80, restart_interval=ri))
+            assert (got == base).all(), ri
+
+    def test_header_and_dispatch(self):
+        from geomesa_spark.functions import jpeg
+
+        img = self._grad(29, 51)
+        data = jpeg.encode_jpeg(img, 75)
+        assert mc.sniff(data) == "jpeg"
+        assert jpeg.jpeg_header(data) == (51, 29)
+        assert mc.image_header(data) == (51, 29)
+        assert mc.decode_image(data).shape == (29, 51, 3)
+
+    def test_huffman_tables_roundtrip_canonical(self):
+        """Every Annex-K symbol decodes back through the 16-bit LUT at its
+        own code length (canonical Huffman self-consistency)."""
+        from geomesa_spark.functions import jpeg
+
+        for bits, vals in (jpeg.HUFF_DC_LUMA, jpeg.HUFF_AC_LUMA,
+                           jpeg.HUFF_DC_CHROMA, jpeg.HUFF_AC_CHROMA):
+            codes = jpeg._huff_codes(bits, vals)
+            lut = jpeg._huff_lut(bits, vals)
+            for sym, (code, ln) in codes.items():
+                packed = lut[code << (16 - ln)]
+                assert packed == (sym << 8) | ln
+
+
 class TestSynth:
     def test_deterministic_and_decodable(self):
         fmts = set()
-        for ref in [f"img_{i:03d}.png" for i in range(12)]:
+        for ref in [f"img_{i:03d}.png" for i in range(48)]:
             b = mc.synth_media_bytes(ref)
             assert b == mc.synth_media_bytes(ref)
             img = mc.decode_image(b)
             assert img.ndim == 3 and img.shape[2] == 3
             assert 16 <= img.shape[0] < 80 and 16 <= img.shape[1] < 80
             fmts.add(mc.sniff(b))
-        assert fmts == {"png", "bmp", "ppm"}  # rotation covers every decoder
+        # rotation covers every decoder incl. the round-5 jpeg slice
+        assert fmts == {"png", "bmp", "ppm", "jpeg"}
 
 
 class TestSparkPipeline:
@@ -178,7 +272,7 @@ class TestSparkPipeline:
         for _, r in pdf.head(10).iterrows():
             img = mc.decode_image(mc.synth_media_bytes(r["media_ref"]))
             assert (r["height"], r["width"]) == img.shape[:2]
-            assert r["kind"] in ("png", "bmp", "ppm")
+            assert r["kind"] in ("png", "bmp", "ppm", "jpeg")
             want = mc.image_features(img, 8)
             assert np.allclose(np.array(r["feature"], dtype=np.float32), want)
 
