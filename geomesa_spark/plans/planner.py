@@ -208,6 +208,43 @@ def _merge_fine_ranges(ranges: list[tuple[int, int]], max_ranges: int) -> list[t
     return [(lo, hi) for lo, hi in merged]
 
 
+def _spatial_cover(
+    geom_wkt: str, res: int, bucket_res: int, max_cells: int, max_ranges: int
+) -> tuple[list[int], list[tuple[int, int]]] | None:
+    """(cell_bucket list, merged fine-cell ranges) for a query geometry —
+    shared by :func:`scan_partitioned` and :func:`choose_scan_strategy`.
+    None = unparseable/degenerate geometry (covers nothing)."""
+    g = wkt.parse_wkt(geom_wkt)
+    parts = wkt.antimeridian_split(g) if g is not None and g.kind == wkt.WKB_POLYGON else [g]
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    fine_ranges: list[tuple[int, int]] = []
+    bucket_cover = []
+    for p in parts:
+        # cover at the FINE res (budget may force a coarser r — ranges
+        # widen by shifting, staying complete)
+        if p.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
+            c, r = cells.cover_polygon(p.rings(), res, max_cells)
+        else:
+            lon0, lat0, lon1, lat1 = extract_bounds(wkt.to_wkt(p))
+            c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, res, max_cells)
+        span = 2 * (res - r)
+        for cc in c:
+            fine_ranges.append((int(cc) << span, ((int(cc) + 1) << span) - 1))
+        if r >= bucket_res:
+            br = cells.parent(c, r - bucket_res)
+        else:  # budget forced coarser than the bucket layer: enumerate children
+            span_b = 2 * (bucket_res - r)
+            br = (
+                np.asarray(c, dtype=np.int64)[:, None] << span_b
+            ) + np.arange(1 << span_b, dtype=np.int64)[None, :]
+            br = br.reshape(-1)
+        bucket_cover.append(np.unique(br))
+    buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
+    return buckets, _merge_fine_ranges(fine_ranges, max_ranges)
+
+
 def scan_partitioned(
     spark: SparkSession,
     path: str,
@@ -236,38 +273,13 @@ def scan_partitioned(
     ``.explain(True)`` must show the bucket list under PartitionFilters
     and the cell ranges under PushedFilters.
     """
-    g = wkt.parse_wkt(geom_wkt)
-    parts = wkt.antimeridian_split(g) if g is not None and g.kind == wkt.WKB_POLYGON else [g]
-    parts = [p for p in parts if p is not None]
-    if not parts:
+    cover = _spatial_cover(geom_wkt, res, bucket_res, max_cells, max_ranges)
+    if cover is None:
         # unparseable or degenerate geometry covers nothing: empty scan
         # (the old pre-range-pushdown code returned empty here too; the
         # range disjunction below must not index into an empty list)
         return spark.read.parquet(path).filter(F.lit(False))
-    fine_ranges: list[tuple[int, int]] = []
-    bucket_cover = []
-    for p in parts:
-        # cover at the FINE res (budget may force a coarser r — ranges
-        # widen by shifting, staying complete)
-        if p.kind in (wkt.WKB_POLYGON, wkt.WKB_MULTIPOLYGON):
-            c, r = cells.cover_polygon(p.rings(), res, max_cells)
-        else:
-            lon0, lat0, lon1, lat1 = extract_bounds(wkt.to_wkt(p))
-            c, r = cells.cover_bbox(lon0, lat0, lon1, lat1, res, max_cells)
-        span = 2 * (res - r)
-        for cc in c:
-            fine_ranges.append((int(cc) << span, ((int(cc) + 1) << span) - 1))
-        if r >= bucket_res:
-            br = cells.parent(c, r - bucket_res)
-        else:  # budget forced coarser than the bucket layer: enumerate children
-            span_b = 2 * (bucket_res - r)
-            br = (
-                np.asarray(c, dtype=np.int64)[:, None] << span_b
-            ) + np.arange(1 << span_b, dtype=np.int64)[None, :]
-            br = br.reshape(-1)
-        bucket_cover.append(np.unique(br))
-    buckets = sorted(int(b) for b in np.unique(np.concatenate(bucket_cover)))
-    ranges = _merge_fine_ranges(fine_ranges, max_ranges)
+    buckets, ranges = cover
     df = spark.read.parquet(path).filter(F.col("cell_bucket").isin(buckets))
     if ranges:
         cond = F.col("cell").between(*ranges[0])
@@ -423,3 +435,136 @@ def scan_attr_partitioned(
             (F.col(date_col) >= date_range[0]) & (F.col(date_col) < date_range[1])
         )
     return df
+
+
+# ---------------------------------------------------------------------------
+# strategy decider (StrategyDecider analogue): spatial vs attribute index
+# ---------------------------------------------------------------------------
+
+def _hive_part_bytes(root: str, part_col: str, matcher) -> tuple[int, int]:
+    """(matched_bytes, total_bytes) across every hive directory
+    ``part_col=value`` found under ``root`` (any nesting depth — layouts
+    may put ``time_bin=`` above ``cell_bucket=``).  Pure filesystem
+    metadata — no data files are read; the cheap local stand-in for the
+    stats catalog (GeoMesaStats) a production deployment would consult."""
+    import os
+    from urllib.parse import unquote
+
+    prefix = part_col + "="
+    matched = total = 0
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        try:
+            entries = list(os.scandir(d))
+        except (NotADirectoryError, FileNotFoundError):
+            continue
+        for e in entries:
+            if not e.is_dir():
+                continue
+            if e.name.startswith(prefix):
+                size = 0
+                for dirpath, _, files in os.walk(e.path):
+                    for f in files:
+                        try:
+                            size += os.path.getsize(os.path.join(dirpath, f))
+                        except OSError:
+                            pass
+                total += size
+                if matcher(unquote(e.name[len(prefix):])):
+                    matched += size
+            else:
+                stack.append(e.path)
+    return matched, total
+
+
+def choose_scan_strategy(
+    spatial_path: str,
+    attr_path: str,
+    geom_wkt: str,
+    eq: str | None = None,
+    lo: str | None = None,
+    hi: str | None = None,
+    res: int = 10,
+    bucket_res: int = BUCKET_RES,
+    prefix_len: int = 1,
+    max_cells: int = 4096,
+) -> dict:
+    """GeoMesa ``StrategyDecider`` analogue (round-5 verdict item 8): when
+    a query carries BOTH a spatial predicate and an attribute predicate
+    over a table persisted in both layouts, pick the index whose pruned
+    scan reads fewer bytes.
+
+    Cost model: the byte size of the hive directories each index's
+    primary filter keeps — spatial: ``cell_bucket`` dirs in the query
+    geometry's bucket cover; attribute: ``attr_part`` dirs between the
+    lexicoded prefixes of the bounds.  Directory listings only (the local
+    stand-in for the reference's cost-based stats); the un-chosen
+    predicate refines row-level either way, so the choice affects COST,
+    never the result.
+
+    Returns {"strategy": "spatial"|"attr", "spatial_bytes", "attr_bytes",
+    "spatial_total", "attr_total"}."""
+    if (eq is None) == (lo is None and hi is None):
+        raise ValueError("pass exactly one of eq= or lo=/hi=")
+    cover = _spatial_cover(geom_wkt, res, bucket_res, max_cells, max_ranges=32)
+    bucket_set = {str(b) for b in cover[0]} if cover is not None else set()
+    sp_m, sp_t = _hive_part_bytes(spatial_path, "cell_bucket", lambda v: v in bucket_set)
+
+    p_lo = _attr_part_value(eq if eq is not None else lo, prefix_len) if (eq or lo) else None
+    p_hi = _attr_part_value(eq if eq is not None else hi, prefix_len) if (eq or hi) else None
+
+    def attr_match(v: str) -> bool:
+        return (p_lo is None or v >= p_lo) and (p_hi is None or v <= p_hi)
+
+    at_m, at_t = _hive_part_bytes(attr_path, "attr_part", attr_match)
+    return {
+        "strategy": "attr" if at_m <= sp_m else "spatial",
+        "spatial_bytes": sp_m, "attr_bytes": at_m,
+        "spatial_total": sp_t, "attr_total": at_t,
+    }
+
+
+#: layout bookkeeping columns stripped so both strategies return the same schema
+_LAYOUT_COLS = ("cell", "cell_bucket", "time_bin", "attr_part", "date_bin")
+
+
+def query_dual_indexed(
+    spark: SparkSession,
+    spatial_path: str,
+    attr_path: str,
+    geom_wkt: str,
+    attr_col: str,
+    predicate: str = "intersects",
+    eq: str | None = None,
+    lo: str | None = None,
+    hi: str | None = None,
+    res: int = 10,
+    prefix_len: int = 1,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Execute a combined spatial + attribute query against whichever
+    index :func:`choose_scan_strategy` estimates cheaper (``strategy`` =
+    "spatial" / "attr" forces one — the parity tests run both).  The
+    chosen index prunes directories; the other predicate applies as an
+    exact row-level filter, so both plans return identical rows."""
+    if strategy == "auto":
+        strategy = choose_scan_strategy(
+            spatial_path, attr_path, geom_wkt, eq=eq, lo=lo, hi=hi,
+            res=res, prefix_len=prefix_len,
+        )["strategy"]
+    if strategy == "spatial":
+        out = query(spark, spatial_path, geom_wkt, predicate, res=res)
+        if eq is not None:
+            out = out.filter(F.col(attr_col) == eq)
+        if lo is not None:
+            out = out.filter(F.col(attr_col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(attr_col) <= hi)
+    else:
+        cand = scan_attr_partitioned(
+            spark, attr_path, attr_col, eq=eq, lo=lo, hi=hi, prefix_len=prefix_len
+        )
+        ps = PolygonSet.from_rows([dict(polygon_id="_q", wkt=geom_wkt)])
+        out = cand.filter(ps.refine_udf(predicate)(F.col("lon"), F.col("lat"), F.lit("_q")))
+    return out.drop(*[c for c in _LAYOUT_COLS if c in out.columns])

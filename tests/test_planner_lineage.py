@@ -276,6 +276,95 @@ def test_choose_resolution_distributed_matches_numpy_reference(spark, sf_dir):
         assert got == numpy_choice(budget), budget
 
 
+class TestStrategyDecider:
+    """Round-5 verdict item 8: GeoMesa StrategyDecider analogue — with
+    BOTH a spatial and an attribute predicate over a dually-persisted
+    table, the cheaper index (fewer pruned-directory bytes) is chosen,
+    and both plans return identical rows."""
+
+    @pytest.fixture(scope="class")
+    def dual(self, spark, tmp_path_factory):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        # skewed attribute: 'rare' covers ~1% of rows, others spread A-Z
+        attrs = np.where(
+            rng.random(n) < 0.01, "rare",
+            np.array([chr(65 + i) for i in rng.integers(0, 26, n)], dtype=object),
+        )
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(n),
+                "lon": rng.uniform(-179, 179, n),
+                "lat": rng.uniform(-85, 85, n),
+                "tag": attrs,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        root = tmp_path_factory.mktemp("dual")
+        sp, at = str(root / "spatial"), str(root / "attr")
+        planner.write_partitioned(df, sp, res=10)
+        planner.write_attr_partitioned(df, at, attr_col="tag")
+        return sp, at, pdf
+
+    TINY_BOX = "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"
+    # near-global box with midpoint vertices: every edge stays < 180° in
+    # lon, so the antimeridian-crossing heuristic (shortest-edge
+    # convention, wkt.antimeridian_split) reads it as the big box, not as
+    # a dateline-crossing sliver
+    HUGE_BOX = (
+        "POLYGON((-179 -85, 0 -85, 179 -85, 179 85, 0 85, -179 85, -179 -85))"
+    )
+
+    def test_tiny_box_broad_attr_picks_spatial(self, dual):
+        sp, at, _ = dual
+        choice = planner.choose_scan_strategy(
+            sp, at, self.TINY_BOX, lo="A", hi="Z"
+        )
+        assert choice["strategy"] == "spatial"
+        assert 0 < choice["spatial_bytes"] < choice["attr_bytes"]
+
+    def test_rare_attr_huge_box_picks_attr(self, dual):
+        sp, at, _ = dual
+        choice = planner.choose_scan_strategy(
+            sp, at, self.HUGE_BOX, eq="rare"
+        )
+        assert choice["strategy"] == "attr"
+        assert 0 < choice["attr_bytes"] < choice["spatial_bytes"]
+
+    @pytest.mark.parametrize("box,kw", [
+        ("TINY_BOX", dict(lo="A", hi="Z")),
+        ("HUGE_BOX", dict(eq="rare")),
+        ("TINY_BOX", dict(eq="rare")),
+    ])
+    def test_both_strategies_identical_to_bruteforce(self, spark, dual, box, kw):
+        import numpy as np
+
+        sp, at, pdf = dual
+        geom = getattr(self, box)
+        got = {}
+        for strat in ("spatial", "attr", "auto"):
+            out = planner.query_dual_indexed(
+                spark, sp, at, geom, attr_col="tag", strategy=strat, **kw
+            )
+            got[strat] = sorted(r["doc_id"] for r in out.collect())
+            assert set(out.columns) == {"doc_id", "lon", "lat", "tag"}
+        assert got["spatial"] == got["attr"] == got["auto"]
+        # brute force on the pandas source
+        lon0, lat0, lon1, lat1 = planner.extract_bounds(geom)
+        m = (
+            (pdf["lon"] >= lon0) & (pdf["lon"] <= lon1)
+            & (pdf["lat"] >= lat0) & (pdf["lat"] <= lat1)
+        )
+        if "eq" in kw:
+            m &= pdf["tag"] == kw["eq"]
+        else:
+            m &= (pdf["tag"] >= kw["lo"]) & (pdf["tag"] <= kw["hi"])
+        assert got["auto"] == sorted(np.asarray(pdf["doc_id"][m]).tolist())
+
+
 def test_choose_resolution_empty_input(spark):
     empty = spark.createDataFrame([], "lon double, lat double")
     assert planner.choose_resolution(empty, candidate_res=(6, 8), sample=1.0) == 6
