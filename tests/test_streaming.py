@@ -229,6 +229,135 @@ def test_persist_stream_multi_epoch_same_bucket(spark, tmp_path):
     assert m["n_rows"].sum() == 10 and set(m["epoch"]) == {0, 1}
 
 
+class TestRestartResume:
+    """Round-5 verdict item 7: kill/restart between micro-batches with the
+    HDFS-backed state store (no RocksDB) — the resumed run must restore
+    BOTH the source offsets and the stateful-operator state, ending in a
+    view identical to a clean no-restart run."""
+
+    @staticmethod
+    def _msg(fid, ts, lon, lat, op):
+        return {"feature_id": fid, "ts": ts, "lon": lon, "lat": lat, "op": op}
+
+    PART1 = [
+        ("f1", "2026-01-01 00:00:20", 11.0, 11.0, "insert"),
+        ("f2", "2026-01-01 00:00:10", 20.0, 20.0, "insert"),
+        ("f3", "2026-01-01 00:00:00", 30.0, 30.0, "insert"),
+    ]
+    PART2 = [
+        # LATE update for f1 (event time BEFORE the stored version): the
+        # restored state must win — if the restart lost state, this row
+        # would be the only candidate and 99.0 would leak into the view
+        ("f1", "2026-01-01 00:00:05", 99.0, 99.0, "update"),
+        ("f2", "2026-01-01 00:00:30", None, None, "delete"),
+        ("f4", "2026-01-01 00:00:40", 40.0, 40.0, "insert"),
+        ("f3", "2026-01-01 00:00:50", 31.0, 31.0, "update"),
+    ]
+
+    def _write(self, d, seq, rows):
+        from geomesa_spark.sources import datasource
+
+        datasource.write_changelog_batch(
+            d, seq, [self._msg(*r) for r in rows]
+        )
+
+    def _run_upsert(self, spark, log_dir, ckpt, out):
+        stream = live.changelog_dir_source(spark, log_dir)
+        ups = live.changelog_upsert(stream)
+
+        def sink(bdf, eid):
+            if not bdf.isEmpty():
+                bdf.withColumn("epoch", F.lit(eid)).write.mode("append").parquet(out)
+
+        q = (
+            ups.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def _view(self, spark, out):
+        pdf = spark.read.parquet(out).toPandas()
+        last = pdf.sort_values("epoch", kind="mergesort").groupby("feature_id").tail(1)
+        liv = last[last["op"] == "upsert"]
+        return {
+            r.feature_id: (r.ts, r.lon, r.lat) for r in liv.itertuples()
+        }
+
+    def test_upsert_restart_view_identical_and_state_restored(self, spark, tmp_path):
+        # clean one-shot run over the full log
+        clean_log = str(tmp_path / "clean_log")
+        self._write(clean_log, 0, self.PART1)
+        self._write(clean_log, 1, self.PART2)
+        clean_out = str(tmp_path / "clean_out")
+        self._run_upsert(spark, clean_log, str(tmp_path / "clean_ckpt"), clean_out)
+        want = self._view(spark, clean_out)
+
+        # restart run: part 1 → stop (the kill) → append part 2 → resume
+        log = str(tmp_path / "log")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        self._write(log, 0, self.PART1)
+        self._run_upsert(spark, log, ckpt, out)
+        mid = self._view(spark, out)
+        assert set(mid) == {"f1", "f2", "f3"}
+        self._write(log, 1, self.PART2)
+        self._run_upsert(spark, log, ckpt, out)
+        got = self._view(spark, out)
+
+        assert got == want
+        assert set(got) == {"f1", "f3", "f4"}  # f2 deleted
+        # the state-restoration probe: restored ts 00:00:20 beats the late row
+        assert got["f1"][1] == 11.0 and got["f1"][2] == 11.0
+        assert got["f3"][1] == 31.0
+
+    def test_live_spatial_join_restart_matches_clean_run(self, spark, tmp_path):
+        """The live spatial index (stream_static_spatial_join) driven by
+        the geomesa_changelog source across a kill/restart: matched set
+        equals the clean no-restart run."""
+        polys = [dict(polygon_id="east", wkt="POLYGON((25 25, 45 25, 45 55, 25 55, 25 25))")]
+
+        def run(log_dir, ckpt, out):
+            stream = live.changelog_dir_source(spark, log_dir).filter(
+                F.col("lon").isNotNull()
+            )
+            joined = live.stream_static_spatial_join(stream, polys, res=6)
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return spark.read.parquet(out).toPandas()
+
+        clean_log = str(tmp_path / "jclean_log")
+        self._write(clean_log, 0, self.PART1)
+        self._write(clean_log, 1, self.PART2)
+        want = run(clean_log, str(tmp_path / "jclean_ckpt"), str(tmp_path / "jclean_out"))
+
+        log = str(tmp_path / "jlog")
+        ckpt = str(tmp_path / "jckpt")
+        out = str(tmp_path / "jout")
+        self._write(log, 0, self.PART1)
+        first = run(log, ckpt, out)
+        assert set(first["feature_id"]) == {"f3"}  # only (30,30) inside
+        self._write(log, 1, self.PART2)
+        got = run(log, ckpt, out)
+
+        key = lambda df: sorted(zip(df["feature_id"], df["lon"], df["lat"]))  # noqa: E731
+        assert key(got) == key(want)
+        # f3's part-2 position (31,31) and f4 (40,40) joined on resume;
+        # part-1 rows were NOT reprocessed (no duplicate f3@30,30 rows)
+        assert sorted(got["feature_id"]) == ["f3", "f3", "f4"]
+
+
 def test_cms_frequencies_bounds(spark):
     """CMS property test: estimate >= exact and <= exact + eps*N."""
     from geomesa_spark.operators import sketches
