@@ -415,6 +415,16 @@ def spatial_join_broadcast(
     return out if unique_ids else out.dropDuplicates([id_col, "polygon_id"])
 
 
+#: memoized auto-res choices: (plan semanticHash, params) → res.  The
+#: docstring below promises a ONE-TIME table property; this makes repeat
+#: queries over the same table actually pay zero planning jobs.  Keyed on
+#: semanticHash + the sorted column list (the swap_cache lesson, round 4:
+#: canonicalization ignores output aliases) + every knob.  Deterministic
+#: input ⇒ a stale entry is impossible for the same plan; a REWRITTEN
+#: table surfaces as a new scan relation ⇒ new hash.
+_AUTO_RES_CACHE: dict[tuple, int] = {}
+
+
 def choose_document_resolution(
     docs: DataFrame, sample: float = 0.02,
     candidate_res: tuple[int, ...] = (6, 8, 10),
@@ -423,14 +433,26 @@ def choose_document_resolution(
     """Adaptive index resolution for a span corpus (round-1 verdict item
     10): sample the docs, extract geo points, and pick the finest
     resolution whose hottest cell stays within budget — a ONE-TIME table
-    property (run it at ingest/planning, reuse the result per query)."""
+    property (run it at ingest/planning, reuse the result per query;
+    memoized per table plan).  Round 5: the histogram is computed
+    distributively (plans.planner.choose_resolution) — only per-candidate
+    scalar maxima reach the driver."""
     from ..plans.planner import choose_resolution
 
+    key = (
+        docs.semanticHash(), tuple(sorted(docs.columns)),
+        sample, candidate_res, max_rows_per_cell,
+    )
+    hit = _AUTO_RES_CACHE.get(key)
+    if hit is not None:
+        return hit
     pts = extract_geo_points(docs.sample(sample, seed=42)).select("lon", "lat")
-    return choose_resolution(
+    res = choose_resolution(
         pts, candidate_res=candidate_res, sample=1.0,
         max_rows_per_cell=max(1, int(max_rows_per_cell * sample)),
     )
+    _AUTO_RES_CACHE[key] = res
+    return res
 
 
 def spatial_join_documents(

@@ -365,6 +365,21 @@ class TestStrategyDecider:
         assert got["auto"] == sorted(np.asarray(pdf["doc_id"][m]).tolist())
 
 
+def test_choose_document_resolution_memoized(spark, sf_dir):
+    """The one-time-table-property promise is real: the second call for
+    the same plan+params answers from the memo (no Spark job), and a
+    different budget gets its own entry."""
+    import time
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    sj._AUTO_RES_CACHE.clear()
+    r1 = sj.choose_document_resolution(docs)
+    t0 = time.time()
+    r2 = sj.choose_document_resolution(docs)
+    assert r1 == r2 and time.time() - t0 < 0.05
+    assert sj.choose_document_resolution(docs, max_rows_per_cell=1) == 10
+
+
 def test_choose_resolution_empty_input(spark):
     empty = spark.createDataFrame([], "lon double, lat double")
     assert planner.choose_resolution(empty, candidate_res=(6, 8), sample=1.0) == 6
