@@ -811,6 +811,25 @@ def q_simhash_md5_pairs(spark, sf_dir):
     )
 
 
+def q_media_dims(spark, sf_dir):
+    """ORACLE-BACKED media decode (round 5 — media coverage was rows-only
+    by necessity): per image span, the REAL pipeline synthesizes the
+    payload from the ref (png/bmp/ppm/jpeg rotation), decodes it
+    (inflate/unfilter, Huffman+IDCT, header parse), and reports
+    (kind, width, height).  The DuckDB twin derives the same values
+    ARITHMETICALLY from the ref string (the synthesis seed is a public
+    polynomial hash), so any decode defect — wrong dims, wrong format
+    branch, crash — breaks the hash match.  `media_features` (pixel
+    features) stays rows-only; this pins the decode plumbing."""
+    from .operators import multimodal
+    from .sources import corpus
+
+    docs = corpus.load_documents_spans(spark, sf_dir)
+    return multimodal.media_features(docs, feature_dim=4).select(
+        "doc_id", "span_idx", "media_ref", "kind", "width", "height"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (concat-then-chunk, budget 512 tokens): every doc
     assigned to the pack its first token lands in, deterministic
@@ -1215,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_pairs": q_simhash_md5_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "media_dims": q_media_dims,
         "doc_fingerprints": q_doc_fingerprints,
         "decontaminate": q_decontaminate,
         "set_ops_users": q_set_ops_users,
@@ -1418,6 +1438,46 @@ def _simhash64_md5_sql(max_hamming: int = 4) -> str:
     """
 
 
+def _media_dims_sql() -> str:
+    """DuckDB twin of q_media_dims: the synthesis seed is
+    ``sum(byte_i * 131^i) mod 2^64 mod 2^32`` over the ref's utf-8 bytes
+    (media_codecs._ref_seed — ascii refs, so ascii() == the byte), dims
+    are ``16 + seed % 64`` / ``16 + (seed >> 8) % 64`` and the format is
+    the synth rotation (1-in-8 jpeg, else png/bmp/ppm by seed % 3).  The
+    engine must DECODE its way back to these numbers."""
+    from .sources import corpus
+
+    path = corpus.documents_spans_path("/root/testdata/sf0.01")
+    powers = [pow(131, i, 2**64) for i in range(32)]
+    terms = " + ".join(
+        f"(CASE WHEN length(r) >= {i + 1} THEN "
+        f"CAST(ascii(substr(r, {i + 1}, 1)) AS HUGEINT) * {powers[i]} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, unnest(spans) AS sp,
+                 generate_subscripts(spans, 1) AS ord
+          FROM read_parquet('{path}')),
+        m AS (
+          SELECT doc_id, CAST(ord - 1 AS INT) AS span_idx,
+                 sp.media_ref AS media_ref, sp.media_ref AS r
+          FROM s WHERE sp.kind = 'image'),
+        seeded AS (
+          SELECT doc_id, span_idx, media_ref,
+                 CAST((({terms}) % 18446744073709551616 % 4294967296) AS BIGINT) AS seed
+          FROM m)
+        SELECT doc_id, span_idx, media_ref,
+               CASE WHEN seed % 8 = 3 THEN 'jpeg'
+                    WHEN seed % 3 = 0 THEN 'png'
+                    WHEN seed % 3 = 1 THEN 'bmp'
+                    ELSE 'ppm' END AS kind,
+               CAST(16 + seed % 64 AS INT) AS width,
+               CAST(16 + (seed >> 8) % 64 AS INT) AS height
+        FROM seeded
+    """
+
+
 def _flagship_rect_sql() -> str:
     from .sources import corpus
 
@@ -1539,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY zone_id
         """,
         "flagship_rect_join": _flagship_rect_sql(),
+        "media_dims": _media_dims_sql(),
         "minhash_lsh_pairs": _minhash_shingle_sql(num_perm=16, bands=4, pct=50),
         "simhash_pairs": _simhash64_md5_sql(max_hamming=4),
         "minhash_md5_pairs": _minhash_md5_sql(pct=90),
