@@ -435,7 +435,7 @@ class SqlEngine:
                             *bbox, meta["max_res"], meta["bucket_res"]
                         )
                     )
-                if bins is not None:
+                if bins is not None and "time_bin" in df.columns:
                     b0, b1 = bins
                     if b0 is not None:
                         df = df.filter(F.col("time_bin") >= b0)
