@@ -471,8 +471,13 @@ def q_xz3_bbox_time(spark, sf_dir):
 
 
 def q_flagship_spans_join(spark, sf_dir):
-    """Rows-only (interleaved-span corpus is not a driver view): the
-    flagship documents_spans ⋈ fixture-polygons join, all 12 polygons."""
+    """ORACLE-BACKED (round 5 — was rows-only): the flagship
+    documents_spans ⋈ fixture-polygons join over ALL 12 polygons
+    (concave, holed, antimeridian, degenerate included).  The DuckDB twin
+    reads the same span parquet and evaluates a GENERATED exact-kernel
+    boolean per polygon — the engine's own crossing-parity + boundary
+    arithmetic with precomputed IEEE constants (`_pip_expr_for_polygon`),
+    split parts from the engine's own antimeridian splitter."""
     from .operators import spatial_join as sj
     from .sources import corpus
 
@@ -1478,6 +1483,89 @@ def _media_dims_sql() -> str:
     """
 
 
+def _pip_expr_for_polygon(wkt_text: str) -> str:
+    """SQL boolean over (lon, lat): EXACTLY the engine's intersects refine
+    for one fixture polygon — antimeridian split via the engine's own
+    splitter, then per part the kernel's crossing-parity + boundary test
+    (`geo/kernels._pip_ring`) with every edge constant precomputed in
+    Python (same IEEE doubles numpy would derive, embedded via repr) and
+    the arithmetic parenthesized in the kernel's evaluation order.  Any
+    drift in crossing rule, boundary tolerance, or the split makes the
+    oracle disagree — that is the point."""
+    import numpy as np
+
+    from .geo import kernels, wkt as wktmod
+
+    g = wktmod.parse_wkt(wkt_text)
+    polys = (
+        [wktmod.Geometry(wktmod.WKB_POLYGON, p) for p in g.coords]
+        if g.kind == wktmod.WKB_MULTIPOLYGON
+        else [g]
+    )
+    part_exprs = []
+    for poly in polys:
+        for part in wktmod.antimeridian_split(poly):
+            parity_terms: list[str] = []
+            boundary_terms: list[str] = []
+            for ring in part.rings():
+                r = kernels.close_ring(np.asarray(ring, dtype=np.float64))
+                for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
+                    x1, y1, x2, y2 = float(x1), float(y1), float(x2), float(y2)
+                    dx, dy = x2 - x1, y2 - y1
+                    parity_terms.append(
+                        f"(CASE WHEN (({y1!r} <= lat) != ({y2!r} <= lat)) "
+                        f"AND lon < {x1!r} + (lat - {y1!r}) / {dy!r} * {dx!r} "
+                        f"THEN 1 ELSE 0 END)"
+                    )
+                    thresh = float(
+                        np.sqrt(max(dx * dx + dy * dy, 1.0) * 1e-12) * 1e-1 + 1e-12
+                    )
+                    lox, hix = min(x1, x2) - 1e-12, max(x1, x2) + 1e-12
+                    loy, hiy = min(y1, y2) - 1e-12, max(y1, y2) + 1e-12
+                    boundary_terms.append(
+                        f"(abs({dx!r} * (lat - {y1!r}) - {dy!r} * (lon - {x1!r}))"
+                        f" <= {thresh!r} AND lon >= {lox!r} AND lon <= {hix!r}"
+                        f" AND lat >= {loy!r} AND lat <= {hiy!r})"
+                    )
+            part_exprs.append(
+                "(((" + " + ".join(parity_terms) + ") % 2 = 1) OR "
+                + " OR ".join(boundary_terms) + ")"
+            )
+    return "(" + " OR ".join(part_exprs) + ")"
+
+
+def _flagship_spans_sql() -> str:
+    """DuckDB twin of q_flagship_spans_join (round 5 — the flagship over
+    ALL 12 fixture polygons, concave/holed/antimeridian/degenerate
+    included, was the last non-media rows-only query): span extraction as
+    in `_flagship_rect_sql`, then per polygon the generated exact-kernel
+    boolean of :func:`_pip_expr_for_polygon`."""
+    from .sources import corpus
+
+    path = corpus.documents_spans_path("/root/testdata/sf0.01")
+    re_pat = (
+        "^\\s*[Pp][Oo][Ii][Nn][Tt]\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"
+    )
+    arms = "\n          UNION ALL ".join(
+        f"SELECT DISTINCT doc_id, '{p['polygon_id']}' AS polygon_id FROM g "
+        f"WHERE {_pip_expr_for_polygon(p['wkt'])}"
+        for p in corpus.fixture_polygons()
+    )
+    return f"""
+        WITH raw AS (SELECT doc_id, spans FROM read_parquet('{path}')),
+        ns AS (SELECT doc_id, CAST(len(spans) AS INT) AS n_spans FROM raw),
+        s AS (SELECT doc_id, UNNEST(spans) AS sp FROM raw),
+        g AS (
+          SELECT doc_id,
+                 TRY_CAST(nullif(regexp_extract(sp.text, '{re_pat}', 1), '') AS DOUBLE) AS lon,
+                 TRY_CAST(nullif(regexp_extract(sp.text, '{re_pat}', 2), '') AS DOUBLE) AS lat
+          FROM s WHERE sp.kind = 'geo'),
+        m AS ({arms})
+        SELECT m.doc_id, m.polygon_id, ns.n_spans
+        FROM m JOIN ns USING (doc_id)
+    """
+
+
 def _flagship_rect_sql() -> str:
     from .sources import corpus
 
@@ -1599,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY zone_id
         """,
         "flagship_rect_join": _flagship_rect_sql(),
+        "flagship_spans_join": _flagship_spans_sql(),
         "media_dims": _media_dims_sql(),
         "minhash_lsh_pairs": _minhash_shingle_sql(num_perm=16, bands=4, pct=50),
         "simhash_pairs": _simhash64_md5_sql(max_hamming=4),
