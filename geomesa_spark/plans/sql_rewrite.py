@@ -272,6 +272,85 @@ class SqlEngine:
         )
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    def register_dual_parquet(
+        self, name: str, spatial_path: str, attr_path: str, attr_col: str,
+        res: int = 10, bucket_res: int = planner.BUCKET_RES, prefix_len: int = 1,
+    ) -> None:
+        """Register a table persisted in BOTH the cell-partitioned and the
+        attribute-partitioned layout (round 5 — the StrategyDecider closing
+        the SQL loop): per query, whichever index's literal predicate
+        prunes fewer bytes (``planner.choose_scan_strategy``) backs the
+        temp view; the other predicate stays in the query as the exact
+        row-level refine, so the choice affects cost, never results.
+        With only one prunable literal present, that index is used.  The
+        registered view exposes the PAYLOAD columns (both layouts' hive
+        columns dropped) so the two paths are interchangeable."""
+        self._tables[name] = dict(
+            kind="dual", spatial_path=spatial_path, attr_path=attr_path,
+            attr_col=attr_col, res=res, bucket_res=bucket_res,
+            prefix_len=prefix_len,
+        )
+        self._dual_payload_df(self._tables[name]).createOrReplaceTempView(name)
+
+    _DUAL_LAYOUT_COLS = ("cell", "cell_bucket", "time_bin", "attr_part", "date_bin")
+
+    def _dual_payload_df(self, meta: dict, df: DataFrame | None = None) -> DataFrame:
+        if df is None:
+            df = self.spark.read.parquet(meta["spatial_path"])
+        return df.drop(*[c for c in self._DUAL_LAYOUT_COLS if c in df.columns])
+
+    def _dual_choose(
+        self, query: str, name: str, meta: dict
+    ) -> tuple[str, DataFrame] | None:
+        """(strategy, pruned layout scan) for a dual-registered table,
+        routed through the cheaper index; None = neither literal prunes
+        (keep the full view)."""
+        cover = self._covers_from_query(query, meta["bucket_res"])
+        bounds = self._attr_bounds_from_query(
+            query, dict(attr_col=meta["attr_col"]), name
+        )
+        if cover is None and bounds is None:
+            return None
+        strategy = "spatial" if bounds is None else "attr" if cover is None else None
+        if strategy is None:
+            lo, hi = bounds
+            strategy = planner.choose_scan_strategy(
+                meta["spatial_path"], meta["attr_path"], self._query_geom_wkt(query),
+                eq=lo if lo == hi and lo is not None else None,
+                lo=None if lo == hi else lo, hi=None if lo == hi else hi,
+                res=meta["res"], bucket_res=meta["bucket_res"],
+                prefix_len=meta["prefix_len"],
+            )["strategy"]
+        if strategy == "spatial":
+            df = self.spark.read.parquet(meta["spatial_path"])
+            df = df.filter(F.col("cell_bucket").isin([int(b) for b in cover]))
+        else:
+            df = self.spark.read.parquet(meta["attr_path"])
+            lo, hi = bounds
+            if lo is not None:
+                df = df.filter(
+                    F.col("attr_part") >= planner._attr_part_value(lo, meta["prefix_len"])
+                )
+            if hi is not None:
+                df = df.filter(
+                    F.col("attr_part") <= planner._attr_part_value(hi, meta["prefix_len"])
+                )
+        return strategy, df
+
+    def _query_geom_wkt(self, query: str) -> str:
+        """First literal geometry in the query as WKT (for the strategy
+        decider's spatial-cost estimate); dwithin point/wkt literals fold
+        to their padded bbox via `_geom_bbox_from_query`."""
+        m = _PRED_RE.search(query)
+        if m:
+            return m.group(2)
+        bbox = self._geom_bbox_from_query(query)
+        lon0, lat0, lon1, lat1 = bbox
+        return (
+            f"POLYGON(({lon0} {lat0}, {lon1} {lat0}, {lon1} {lat1}, "
+            f"{lon0} {lat1}, {lon0} {lat0}))"
+        )
+
     def register_geom_parquet(
         self, name: str, path: str, id_col: str = "geom_id",
         max_res: int | None = None, bucket_res: int = 4,
@@ -420,6 +499,13 @@ class SqlEngine:
         for name, meta in self._tables.items():
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
+            if meta.get("kind") == "dual":
+                choice = self._dual_choose(query, name, meta)
+                if choice is None:
+                    continue
+                self._dual_payload_df(meta, choice[1]).createOrReplaceTempView(name)
+                pruned.append(name)
+                continue
             bin_col = "date_bin" if meta.get("kind") == "attr" else "time_bin"
             bins = self._bins_from_query(query, meta, name)
             if meta.get("kind") == "geom":
@@ -485,6 +571,8 @@ class SqlEngine:
                 meta = self._tables[name]
                 if meta.get("kind") == "geom":
                     self._geom_payload_df(meta).createOrReplaceTempView(name)
+                elif meta.get("kind") == "dual":
+                    self._dual_payload_df(meta).createOrReplaceTempView(name)
                 else:
                     self.spark.read.parquet(meta["path"]).createOrReplaceTempView(name)
 
@@ -513,15 +601,25 @@ class SqlEngine:
         b1 = int(pd.Timestamp(hi).timestamp()) // width if hi else None
         return (b0, b1)
 
-    def explain_pruning(self, query: str) -> dict[str, int]:
+    def explain_pruning(self, query: str) -> dict[str, int | str]:
         """How many buckets each registered table would scan (diagnostics);
         time-aware tables get a second ``<name>:time_bins`` entry with the
-        pruned bin-range width (-1 = no time pruning)."""
+        pruned bin-range width (-1 = no time pruning); dual-registered
+        tables get a ``<name>:strategy`` entry naming the chosen index."""
         out = {}
         for name, meta in self._tables.items():
             if not re.search(rf"\b{re.escape(name)}\b", query):
                 continue
-            if meta.get("kind") == "geom":
+            if meta.get("kind") == "dual":
+                choice = self._dual_choose(query, name, meta)
+                if choice is None:
+                    out[name] = -1
+                else:
+                    strategy, df = choice
+                    part_col = "cell_bucket" if strategy == "spatial" else "attr_part"
+                    out[name] = df.select(part_col).distinct().count()
+                    out[f"{name}:strategy"] = strategy
+            elif meta.get("kind") == "geom":
                 bbox = self._geom_bbox_from_query(query)
                 if bbox is None:
                     out[name] = -1

@@ -392,6 +392,98 @@ class TestXZ3GeomPushdown:
         assert n == full and n > 0
 
 
+class TestDualIndexSQL:
+    """Round-5 capstone: a table registered in BOTH layouts routes each
+    SQL query through the strategy decider — the cheaper index prunes,
+    the other predicate refines, results always equal the full scan."""
+
+    TINY = "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"
+    HUGE = "POLYGON((-179 -85, 0 -85, 179 -85, 179 85, 0 85, -179 85, -179 -85))"
+
+    @pytest.fixture(scope="class")
+    def dual_engine(self, spark, tmp_path_factory):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(23)
+        n = 4000
+        tags = np.where(
+            rng.random(n) < 0.01, "rare",
+            np.array([chr(65 + i) for i in rng.integers(0, 26, n)], dtype=object),
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(n),
+                    "lon": rng.uniform(-179, 179, n),
+                    "lat": rng.uniform(-85, 85, n),
+                    "tag": tags,
+                }
+            )
+        )
+        root = tmp_path_factory.mktemp("dualsql")
+        sp, at = str(root / "spatial"), str(root / "attr")
+        planner.write_partitioned(df, sp, res=10)
+        planner.write_attr_partitioned(df, at, attr_col="tag")
+        eng = sql_rewrite.SqlEngine(spark)
+        eng.register_dual_parquet("dual_t", sp, at, attr_col="tag", res=10)
+        return eng
+
+    def _q(self, geom, attr_pred):
+        return f"""
+          SELECT doc_id FROM dual_t
+          WHERE st_contains(st_geomFromWKT('{geom}'), st_point(lon, lat))
+            AND {attr_pred}
+        """
+
+    def test_view_is_payload_only(self, spark, dual_engine):
+        df = spark.sql("SELECT * FROM dual_t")
+        assert set(df.columns) == {"doc_id", "lon", "lat", "tag"}
+
+    def test_tiny_box_broad_attr_routes_spatial(self, spark, dual_engine):
+        q = self._q(self.TINY, "tag >= 'A' AND tag <= 'Z'")
+        stats = dual_engine.explain_pruning(q)
+        assert stats["dual_t:strategy"] == "spatial" and stats["dual_t"] > 0
+        got = {r["doc_id"] for r in dual_engine.sql(q).collect()}
+        full = {r["doc_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_rare_attr_huge_box_routes_attr(self, spark, dual_engine):
+        q = self._q(self.HUGE, "tag = 'rare'")
+        stats = dual_engine.explain_pruning(q)
+        assert stats["dual_t:strategy"] == "attr" and stats["dual_t"] > 0
+        got = {r["doc_id"] for r in dual_engine.sql(q).collect()}
+        full = {r["doc_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_attr_only_literal_prunes_attr(self, spark, dual_engine):
+        q = "SELECT doc_id FROM dual_t WHERE tag = 'rare'"
+        assert dual_engine.explain_pruning(q)["dual_t:strategy"] == "attr"
+        got = {r["doc_id"] for r in dual_engine.sql(q).collect()}
+        full = {r["doc_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_spatial_only_literal_prunes_spatial(self, spark, dual_engine):
+        q = f"""
+          SELECT doc_id FROM dual_t
+          WHERE st_contains(st_geomFromWKT('{self.TINY}'), st_point(lon, lat))
+        """
+        assert dual_engine.explain_pruning(q)["dual_t:strategy"] == "spatial"
+        got = {r["doc_id"] for r in dual_engine.sql(q).collect()}
+        full = {r["doc_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+
+    def test_or_disables_and_view_restored(self, spark, dual_engine):
+        q = "SELECT doc_id FROM dual_t WHERE tag = 'rare' OR doc_id = 1"
+        assert dual_engine.explain_pruning(q)["dual_t"] == -1
+        got = {r["doc_id"] for r in dual_engine.sql(q).collect()}
+        full = {r["doc_id"] for r in spark.sql(q).collect()}
+        assert got == full and len(got) > 0
+        # restored full view after any pruned query
+        dual_engine.sql(self._q(self.TINY, "tag >= 'A' AND tag <= 'Z'")).collect()
+        assert spark.sql("SELECT count(*) AS n FROM dual_t").collect()[0]["n"] == 4000
+
+
 class TestAttrIndexPushdown:
     """Round-4 capstone: GeoMesa's attribute-index strategy selection as a
     SQL rewrite — a literal equality/range conjunct on the registered
