@@ -8,6 +8,7 @@ import java.util.regex.Pattern;
 import org.apache.spark.sql.catalyst.expressions.And;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.expressions.AttributeReference;
+import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.In;
 import org.apache.spark.sql.catalyst.expressions.Literal;
@@ -15,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.PythonUDF;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.DataTypes;
 
@@ -29,17 +31,34 @@ import org.apache.spark.sql.types.DataTypes;
  * buckets)` injected invisibly, so Catalyst directory-prunes the scan.
  *
  * Soundness (never changes results):
+ *  - the Filter must sit DIRECTLY on the scan relation (LogicalRelation),
+ *    so `lon`/`lat`/`cell_bucket` are the relation's own stored columns --
+ *    a subquery aliasing `lon+100 AS lon` interposes a Project and is
+ *    (correctly) not matched;
  *  - only conjuncts that MUST hold are matched (And-split; anything under
  *    OR/NOT is not a conjunct);
- *  - any geometry satisfying one of those predicates against the literal
- *    intersects the literal, hence intersects the bbox of the literal's
- *    vertices (region of a ring is inside its vertex bbox), so the row's
- *    point bucket is one of the buckets covering that (epsilon-padded)
- *    bbox -- the IN list is complete;
+ *  - the matched conjunct must pair a literal geometry with the row's OWN
+ *    indexed position `st_point(lon, lat)` (bare column refs -- the
+ *    write_partitioned layout contract).  A predicate over a derived
+ *    point (`st_point(lon+100, lat)`) or over two literals constrains
+ *    nothing about the row's bucket and is not matched;
+ *  - any row point satisfying contains/intersects/within/covers against
+ *    the literal intersects the literal, hence lies inside the bbox of
+ *    the literal's vertices (region of a ring is inside its vertex bbox),
+ *    so the row's bucket is one of the buckets covering that
+ *    (epsilon-padded) bbox -- the IN list is complete;
+ *  - st_dwithin(point, literal, r_meters) additionally pads the literal's
+ *    bbox by the great-circle radius on the engine's sphere
+ *    (R = 6371008.8 m, geo/kernels.py): exact latitude pad r/R rad; the
+ *    longitude pad inverts the haversine at the worst padded latitude
+ *    (sin(dLam/2) = sin(r/2R)/cos(phi_max)), falling back to the full
+ *    longitude range when the pad crosses the antimeridian or reaches a
+ *    pole (haversine wraps in longitude; the bucket grid does not);
  *  - the original predicate stays in the plan as the exact refine; a
  *    pattern miss degrades to a full scan, never a wrong answer;
  *  - the rule is idempotent: a condition already referencing
- *    `cell_bucket` is left untouched.
+ *    `cell_bucket` is left untouched, and an IN list that would cover
+ *    every bucket is not injected.
  *
  * Scope is intentionally the high-value core (literal-vs-column bbox
  * pruning on point layouts at the fixed bucket resolution); the Python
@@ -52,6 +71,8 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
   /** must match plans.planner.BUCKET_RES */
   static final int BUCKET_RES = 4;
   static final double PAD = 1e-9;
+  /** must match geo.kernels.EARTH_RADIUS_M */
+  static final double EARTH_RADIUS_M = 6371008.8;
   static final Pattern COORD = Pattern.compile(
       "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)\\s+" +
       "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)");
@@ -78,6 +99,13 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
   }
 
   LogicalPlan rewrite(Filter f) {
+    // only rewrite a Filter sitting directly on the scan: that is the one
+    // place where `lon`/`lat`/`cell_bucket` are guaranteed to be the
+    // STORED columns the layout was bucketed from (a Project in between
+    // could alias a derived expression to those names).
+    if (!(f.child() instanceof LogicalRelation)) {
+      return f;
+    }
     Attribute bucket = null;
     scala.collection.Iterator<Attribute> it = f.child().output().iterator();
     while (it.hasNext()) {
@@ -106,8 +134,12 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
     if (bbox == null) {
       return f;
     }
+    List<Long> buckets = bucketsFor(bbox);
+    if (buckets.size() >= (1L << BUCKET_RES) * (1L << BUCKET_RES)) {
+      return f; // covers every bucket -- nothing to prune
+    }
     List<Expression> lits = new ArrayList<>();
-    for (long b : bucketsFor(bbox)) {
+    for (long b : buckets) {
       lits.add(isLong
           ? Literal.create(b, DataTypes.LongType)
           : Literal.create((int) b, DataTypes.IntegerType));
@@ -139,29 +171,132 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
     return false;
   }
 
-  /** bbox of the literal geometry in a matching predicate conjunct, or null. */
+  /** bbox the row's point must fall in for a matching conjunct, or null.
+   *  Requires BOTH a literal geometry arg AND the row's own indexed
+   *  position st_point(lon, lat) (bare column refs) -- a conjunct over
+   *  two literals or a derived point constrains nothing about the row's
+   *  bucket and must not prune. */
   static double[] literalBBox(Expression conj) {
     if (!(conj instanceof PythonUDF)) {
       return null;
     }
     PythonUDF udf = (PythonUDF) conj;
     String n = udf.name().toLowerCase();
-    if (!(n.equals("st_contains") || n.equals("st_intersects")
-        || n.equals("st_within") || n.equals("st_covers"))) {
+    boolean isRelate = n.equals("st_contains") || n.equals("st_intersects")
+        || n.equals("st_within") || n.equals("st_covers");
+    boolean isDwithin = n.equals("st_dwithin");
+    if (!isRelate && !isDwithin) {
       return null;
     }
+    String wkt = null;
+    boolean rowPoint = false;
+    Double radius = null;
     scala.collection.Iterator<Expression> it = udf.children().iterator();
     while (it.hasNext()) {
       Expression child = it.next();
-      String wkt = literalWkt(child);
-      if (wkt != null) {
-        double[] b = wktBBox(wkt);
-        if (b != null) {
-          return b;
-        }
+      String w = literalWkt(child);
+      if (w != null && wkt == null) {
+        wkt = w;
+        continue;
+      }
+      if (isRowPoint(child)) {
+        rowPoint = true;
+        continue;
+      }
+      Double r = literalNumber(child);
+      if (r != null && radius == null) {
+        radius = r;
       }
     }
-    return null;
+    if (wkt == null || !rowPoint) {
+      return null;
+    }
+    double[] b = wktBBox(wkt);
+    if (b == null) {
+      return null;
+    }
+    if (isDwithin) {
+      if (radius == null || !(radius >= 0.0) || Double.isInfinite(radius)) {
+        return null;
+      }
+      return padForRadius(b, radius);
+    }
+    return b;
+  }
+
+  /** child is st_point(lon, lat) over BARE column refs with exactly the
+   *  layout-contract names -- the only shape whose bucket the layout
+   *  indexed. */
+  static boolean isRowPoint(Expression e) {
+    if (!(e instanceof PythonUDF)) {
+      return false;
+    }
+    PythonUDF udf = (PythonUDF) e;
+    String n = udf.name().toLowerCase();
+    if (!(n.equals("st_point") || n.equals("st_makepoint"))) {
+      return false;
+    }
+    if (udf.children().size() != 2) {
+      return false;
+    }
+    Expression a = udf.children().apply(0);
+    Expression b = udf.children().apply(1);
+    return a instanceof AttributeReference
+        && ((AttributeReference) a).name().equals("lon")
+        && b instanceof AttributeReference
+        && ((AttributeReference) b).name().equals("lat");
+  }
+
+  /** numeric Literal (int/long/float/double/decimal) as a double, else
+   *  null.  Unwraps Cast: SQL `300000.0` parses as a Decimal literal and
+   *  the UDF's double param wraps it in Cast(Literal) -- value-preserving
+   *  for a radius. */
+  static Double literalNumber(Expression e) {
+    while (e instanceof Cast) {
+      e = ((Cast) e).child();
+    }
+    if (!(e instanceof Literal)) {
+      return null;
+    }
+    Object v = ((Literal) e).value();
+    if (v == null) {
+      return null;
+    }
+    if (v instanceof Number) {
+      return ((Number) v).doubleValue();
+    }
+    try { // org.apache.spark.sql.types.Decimal is not a java.lang.Number
+      return Double.parseDouble(v.toString());
+    } catch (NumberFormatException ex) {
+      return null;
+    }
+  }
+
+  /** pad a lon/lat bbox so it contains every point within r_m great-circle
+   *  meters (engine sphere R = EARTH_RADIUS_M) of the original box.  The
+   *  latitude pad is exact (r/R radians); the longitude pad inverts the
+   *  haversine at the worst |latitude| the padded box can reach
+   *  (sin(dLam/2) = sin(r/2R) / cos(phi_max)).  When that pad crosses the
+   *  antimeridian or a pole the returned lon range exceeds [-180, 180],
+   *  which bucketsFor() reads as "every longitude column" (haversine
+   *  wraps in longitude; the bucket grid does not).  1.001 safety factor:
+   *  padding MORE is always sound. */
+  static double[] padForRadius(double[] b, double rM) {
+    double latPad = Math.toDegrees(rM / EARTH_RADIUS_M) * 1.001 + PAD;
+    double lat0 = b[1] - latPad, lat1 = b[3] + latPad;
+    double phiMax = Math.toRadians(
+        Math.min(90.0, Math.max(Math.abs(lat0), Math.abs(lat1))));
+    double s = Math.sin(Math.min(Math.PI / 2.0, rM / (2.0 * EARTH_RADIUS_M)));
+    double c = Math.cos(phiMax);
+    double lonPad;
+    if (c <= 1e-12 || s / c >= 1.0) {
+      lonPad = 361.0; // reaches a pole: every longitude is in range
+    } else {
+      lonPad = Math.toDegrees(2.0 * Math.asin(s / c)) * 1.001 + PAD;
+    }
+    return new double[] {
+        b[0] - lonPad, Math.max(-90.0, lat0), b[2] + lonPad, Math.min(90.0, lat1)
+    };
   }
 
   /** child is st_geomFromWKT/<alias>(Literal string) -> the WKT text, else null. */
@@ -206,6 +341,10 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
     long n = 1L << BUCKET_RES;
     long x0 = grid(bbox[0] - PAD, -180.0, 360.0, n);
     long x1 = grid(bbox[2] + PAD, -180.0, 360.0, n);
+    if (bbox[0] < -180.0 || bbox[2] > 180.0) {
+      x0 = 0; // padded range wraps the antimeridian: take every lon column
+      x1 = n - 1;
+    }
     long y0 = grid(bbox[1] - PAD, -90.0, 180.0, n);
     long y1 = grid(bbox[3] + PAD, -90.0, 180.0, n);
     List<Long> out = new ArrayList<>();

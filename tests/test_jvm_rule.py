@@ -88,6 +88,54 @@ _CHILD = textwrap.dedent(
     q4 = "SELECT count(*) AS n FROM pts WHERE cell_bucket >= 0"
     out["bucket_query_intact"] = spark.sql(q4).collect()[0]["n"] == n
 
+    # st_dwithin(st_point(lon,lat), literal, r_meters): radius-padded bbox
+    # injection.  Oracle = the engine's own haversine over pandas (the
+    # predicate semantics), run on the full frame.
+    from geomesa_spark.geo import kernels
+    CTR_LON, CTR_LAT, R_M = 12.0, 52.0, 300000.0
+    qd = ("SELECT doc_id FROM pts WHERE st_dwithin(st_point(lon, lat), "
+          f"st_geomFromWKT('POINT({{CTR_LON}} {{CTR_LAT}})'), {{R_M}})")
+    rd = spark.sql(qd)
+    optd = rd._jdf.queryExecution().optimizedPlan().toString()
+    gotd = sorted(r["doc_id"] for r in rd.collect())
+    dist = kernels.haversine_m(
+        pdf.lon.to_numpy(), pdf.lat.to_numpy(), CTR_LON, CTR_LAT)
+    wantd = sorted(pdf.doc_id[dist <= R_M].tolist())
+    # a single covered bucket gets its IN list folded to `=` by OptimizeIn
+    import re as _re
+    out["dwithin_injected"] = bool(_re.search(r"cell_bucket#\\d+ (=|IN) ", optd))
+    out["dwithin_match"] = gotd == wantd and len(gotd) > 0
+
+    # dwithin whose padded box crosses the antimeridian: haversine wraps in
+    # longitude, the bucket grid does not -- the rule must take every lon
+    # column (or not inject) rather than drop the wrapped side.
+    qw = ("SELECT doc_id FROM pts WHERE st_dwithin(st_point(lon, lat), "
+          "st_geomFromWKT('POINT(179.5 0.0)'), 300000.0)")
+    gotw = sorted(r["doc_id"] for r in spark.sql(qw).collect())
+    dw = kernels.haversine_m(pdf.lon.to_numpy(), pdf.lat.to_numpy(), 179.5, 0.0)
+    out["dwithin_antimeridian_match"] = (
+        gotw == sorted(pdf.doc_id[dw <= 300000.0].tolist()) and len(gotw) > 0)
+
+    # degenerate both-literal predicate: constrains nothing about the row
+    # -- the rule must NOT inject (it would drop every other bucket).
+    qc = ("SELECT doc_id FROM pts WHERE st_contains("
+          f"st_geomFromWKT('{{POLY}}'), st_geomFromWKT('POINT(15 15)'))")
+    rc = spark.sql(qc)
+    optc = rc._jdf.queryExecution().optimizedPlan().toString()
+    out["const_pred_not_injected"] = not ("cell_bucket" in optc and " IN " in optc)
+    out["const_pred_match"] = len(rc.collect()) == n
+
+    # derived alias shadowing the layout column: lon+100 AS lon through a
+    # subquery -- the row's STORED position is elsewhere, so injection on
+    # cell_bucket would drop matching rows.  Rule must leave it alone.
+    qa = ("SELECT doc_id FROM (SELECT doc_id, lon + 100.0 AS lon, lat, "
+          "cell_bucket FROM pts) WHERE "
+          f"st_contains(st_geomFromWKT('{{POLY}}'), st_point(lon, lat))")
+    ra = spark.sql(qa)
+    gota = sorted(r["doc_id"] for r in ra.collect())
+    ma = (pdf.lon + 100.0 >= 10) & (pdf.lon + 100.0 <= 20) & (pdf.lat >= 10) & (pdf.lat <= 20)
+    out["derived_alias_match"] = gota == sorted(pdf.doc_id[ma].tolist()) and len(gota) > 0
+
     print("RESULT " + json.dumps(out))
     spark.stop()
     """
@@ -116,4 +164,10 @@ def test_jvm_rule_injects_prunes_and_matches(classes_dir, tmp_path):
         "or_match": True,
         "raw_untouched_match": True,
         "bucket_query_intact": True,
+        "dwithin_injected": True,
+        "dwithin_match": True,
+        "dwithin_antimeridian_match": True,
+        "const_pred_not_injected": True,
+        "const_pred_match": True,
+        "derived_alias_match": True,
     }
