@@ -9,8 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.And;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.Cast;
+import org.apache.spark.sql.catalyst.expressions.EqualTo;
 import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.GreaterThan;
+import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.In;
+import org.apache.spark.sql.catalyst.expressions.LessThan;
+import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.PythonUDF;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
@@ -54,11 +59,18 @@ import org.apache.spark.sql.types.DataTypes;
  *    (sin(dLam/2) = sin(r/2R)/cos(phi_max)), falling back to the full
  *    longitude range when the pad crosses the antimeridian or reaches a
  *    pole (haversine wraps in longitude; the bucket grid does not);
+ *  - on the Z3 layout (`time_bin=W/cell_bucket=B` dirs) literal timestamp
+ *    conjuncts on the relation's timestamp column additionally inject
+ *    `time_bin >= / <=` bounds (one-second slack each way, so
+ *    unix_timestamp truncation semantics never matter).  The binned
+ *    source column is identifiable only when the relation has EXACTLY
+ *    one timestamp column -- with several, bounding the wrong one would
+ *    drop rows, so the rule stands down;
  *  - the original predicate stays in the plan as the exact refine; a
  *    pattern miss degrades to a full scan, never a wrong answer;
  *  - the rule is idempotent: a condition already referencing
- *    `cell_bucket` is left untouched, and an IN list that would cover
- *    every bucket is not injected.
+ *    `cell_bucket` (resp. `time_bin`) is left untouched, and an IN list
+ *    that would cover every bucket is not injected.
  *
  * Scope is intentionally the high-value core (literal-vs-column bbox
  * pruning on point layouts at the fixed bucket resolution); the Python
@@ -100,30 +112,65 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
 
   LogicalPlan rewrite(Filter f) {
     // only rewrite a Filter sitting directly on the scan: that is the one
-    // place where `lon`/`lat`/`cell_bucket` are guaranteed to be the
-    // STORED columns the layout was bucketed from (a Project in between
-    // could alias a derived expression to those names).
+    // place where `lon`/`lat`/`cell_bucket`/`time_bin` are guaranteed to
+    // be the STORED columns the layout was bucketed from (a Project in
+    // between could alias a derived expression to those names).
     if (!(f.child() instanceof LogicalRelation)) {
       return f;
     }
     Attribute bucket = null;
+    Attribute timeBin = null;
+    Attribute tsCol = null;
+    int nTsCols = 0;
     scala.collection.Iterator<Attribute> it = f.child().output().iterator();
     while (it.hasNext()) {
       Attribute a = it.next();
       if (a.name().equals("cell_bucket")) {
         bucket = a;
+      } else if (a.name().equals("time_bin")) {
+        timeBin = a;
+      } else if (a.dataType().sameType(DataTypes.TimestampType)) {
+        nTsCols++;
+        tsCol = a;
       }
-    }
-    if (bucket == null || referencesBucket(f.condition())) {
-      return f;
-    }
-    DataType dt = bucket.dataType();
-    boolean isLong = dt.sameType(DataTypes.LongType);
-    if (!isLong && !dt.sameType(DataTypes.IntegerType)) {
-      return f; // unexpected layout -- leave untouched (sound)
     }
     List<Expression> conjs = new ArrayList<>();
     splitAnd(f.condition(), conjs);
+    List<Expression> injected = new ArrayList<>();
+
+    if (bucket != null && !referencesName(f.condition(), "cell_bucket")) {
+      Expression in = bucketIn(bucket, conjs);
+      if (in != null) {
+        injected.add(in);
+      }
+    }
+    // Z3 layout: hive dirs time_bin=W/cell_bucket=B.  The binned source
+    // column is only identifiable when the relation has EXACTLY ONE
+    // timestamp column (write_partitioned keeps all columns, and its
+    // time_col is necessarily one of them) -- with several, bounding the
+    // wrong one would drop rows, so we stand down.
+    if (timeBin != null && tsCol != null && nTsCols == 1
+        && !referencesName(f.condition(), "time_bin")) {
+      injected.addAll(timeBinBounds(timeBin, tsCol, conjs));
+    }
+    if (injected.isEmpty()) {
+      return f;
+    }
+    Expression cond = f.condition();
+    for (Expression e : injected) {
+      cond = new And(e, cond);
+    }
+    return new Filter(cond, f.child());
+  }
+
+  /** the `cell_bucket IN (covered buckets)` conjunct for the first
+   *  matching spatial predicate, or null. */
+  static Expression bucketIn(Attribute bucket, List<Expression> conjs) {
+    DataType dt = bucket.dataType();
+    boolean isLong = dt.sameType(DataTypes.LongType);
+    if (!isLong && !dt.sameType(DataTypes.IntegerType)) {
+      return null; // unexpected layout -- leave untouched (sound)
+    }
     double[] bbox = null;
     for (Expression c : conjs) {
       bbox = literalBBox(c);
@@ -132,11 +179,11 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
       }
     }
     if (bbox == null) {
-      return f;
+      return null;
     }
     List<Long> buckets = bucketsFor(bbox);
     if (buckets.size() >= (1L << BUCKET_RES) * (1L << BUCKET_RES)) {
-      return f; // covers every bucket -- nothing to prune
+      return null; // covers every bucket -- nothing to prune
     }
     List<Expression> lits = new ArrayList<>();
     for (long b : buckets) {
@@ -144,8 +191,93 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
           ? Literal.create(b, DataTypes.LongType)
           : Literal.create((int) b, DataTypes.IntegerType));
     }
-    Expression in = new In(bucket, toSeq(lits));
-    return new Filter(new And(in, f.condition()), f.child());
+    return new In(bucket, toSeq(lits));
+  }
+
+  /** seconds per time_bin -- must match plans.planner.TIME_BIN_DAYS. */
+  static final long BIN_SECONDS = 86400L * 7;
+
+  /** `time_bin >= lo` / `time_bin <= hi` conjuncts implied by literal
+   *  timestamp bounds on the layout's (unique) timestamp column.  Bounds
+   *  are slack by one second each way so the exact truncation semantics
+   *  of unix_timestamp never matter (one extra bin at worst -- sound). */
+  static List<Expression> timeBinBounds(
+      Attribute timeBin, Attribute tsCol, List<Expression> conjs) {
+    Long lo = null, hi = null;
+    for (Expression c : conjs) {
+      Expression l = null, r = null;
+      boolean geq = false, leq = false, eq = false;
+      if (c instanceof GreaterThanOrEqual) {
+        l = ((GreaterThanOrEqual) c).left(); r = ((GreaterThanOrEqual) c).right(); geq = true;
+      } else if (c instanceof GreaterThan) {
+        l = ((GreaterThan) c).left(); r = ((GreaterThan) c).right(); geq = true;
+      } else if (c instanceof LessThanOrEqual) {
+        l = ((LessThanOrEqual) c).left(); r = ((LessThanOrEqual) c).right(); leq = true;
+      } else if (c instanceof LessThan) {
+        l = ((LessThan) c).left(); r = ((LessThan) c).right(); leq = true;
+      } else if (c instanceof EqualTo) {
+        l = ((EqualTo) c).left(); r = ((EqualTo) c).right(); eq = true;
+      } else {
+        continue;
+      }
+      Long micros = null;
+      boolean colLeft;
+      if (isNamedAttr(l, tsCol.name()) && (micros = tsMicros(r)) != null) {
+        colLeft = true;
+      } else if (isNamedAttr(r, tsCol.name()) && (micros = tsMicros(l)) != null) {
+        colLeft = false;
+      } else {
+        continue;
+      }
+      long sec = Math.floorDiv(micros, 1_000_000L);
+      long binLo = Math.floorDiv(sec - 1, BIN_SECONDS);
+      long binHi = Math.floorDiv(sec + 1, BIN_SECONDS);
+      // col >= lit (geq, colLeft) or lit >= col (geq, !colLeft == col <= lit)
+      boolean lower = eq || (geq && colLeft) || (leq && !colLeft);
+      boolean upper = eq || (leq && colLeft) || (geq && !colLeft);
+      if (lower) {
+        lo = (lo == null) ? binLo : Math.max(lo, binLo);
+      }
+      if (upper) {
+        hi = (hi == null) ? binHi : Math.min(hi, binHi);
+      }
+    }
+    List<Expression> out = new ArrayList<>();
+    boolean isLong = timeBin.dataType().sameType(DataTypes.LongType);
+    if (!isLong && !timeBin.dataType().sameType(DataTypes.IntegerType)) {
+      return out; // unexpected layout -- leave untouched (sound)
+    }
+    if (lo != null && (isLong || (lo >= Integer.MIN_VALUE && lo <= Integer.MAX_VALUE))) {
+      out.add(new GreaterThanOrEqual(timeBin, binLit(lo, isLong)));
+    }
+    if (hi != null && (isLong || (hi >= Integer.MIN_VALUE && hi <= Integer.MAX_VALUE))) {
+      out.add(new LessThanOrEqual(timeBin, binLit(hi, isLong)));
+    }
+    return out;
+  }
+
+  static Literal binLit(long v, boolean isLong) {
+    return isLong
+        ? (Literal) Literal.create(v, DataTypes.LongType)
+        : (Literal) Literal.create((int) v, DataTypes.IntegerType);
+  }
+
+  static boolean isNamedAttr(Expression e, String name) {
+    return e instanceof AttributeReference
+        && ((AttributeReference) e).name().equals(name);
+  }
+
+  /** micros-since-epoch of a TimestampType literal, else null. */
+  static Long tsMicros(Expression e) {
+    if (!(e instanceof Literal)) {
+      return null;
+    }
+    Literal lit = (Literal) e;
+    if (!lit.dataType().sameType(DataTypes.TimestampType) || lit.value() == null) {
+      return null;
+    }
+    Object v = lit.value();
+    return (v instanceof Long) ? (Long) v : null;
   }
 
   static void splitAnd(Expression e, List<Expression> out) {
@@ -157,14 +289,14 @@ public class SpatialFilterRule extends Rule<LogicalPlan> {
     }
   }
 
-  static boolean referencesBucket(Expression e) {
+  static boolean referencesName(Expression e, String name) {
     if (e instanceof AttributeReference
-        && ((AttributeReference) e).name().equals("cell_bucket")) {
+        && ((AttributeReference) e).name().equals(name)) {
       return true;
     }
     scala.collection.Iterator<Expression> it = e.children().iterator();
     while (it.hasNext()) {
-      if (referencesBucket(it.next())) {
+      if (referencesName(it.next(), name)) {
         return true;
       }
     }

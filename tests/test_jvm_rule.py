@@ -39,6 +39,7 @@ _CHILD = textwrap.dedent(
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.extensions", "geomesa.spark.rules.GeoSparkExtensions")
         .config("spark.driver.extraClassPath", {classes!r})
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate())
     from geomesa_spark.functions import st_funcs
@@ -136,6 +137,47 @@ _CHILD = textwrap.dedent(
     ma = (pdf.lon + 100.0 >= 10) & (pdf.lon + 100.0 <= 20) & (pdf.lat >= 10) & (pdf.lat <= 20)
     out["derived_alias_match"] = gota == sorted(pdf.doc_id[ma].tolist()) and len(gota) > 0
 
+    # Z3 layout (time_bin=W/cell_bucket=B dirs): a literal timestamp
+    # window on the layout's (unique) timestamp column injects
+    # time_bin >= / <= bounds alongside the spatial bucket IN.
+    pdf_t = pdf.copy()
+    pdf_t["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 70 * 86400, n), unit="s")
+    path_t = {layout!r} + "_t"
+    planner.write_partitioned(spark.createDataFrame(pdf_t), path_t, res=10, time_col="ts")
+    spark.read.parquet(path_t).createOrReplaceTempView("pts_t")
+    T0, T1 = "2024-01-15 00:00:00", "2024-02-05 00:00:00"
+    qt = ("SELECT doc_id FROM pts_t WHERE "
+          f"st_contains(st_geomFromWKT('{{POLY}}'), st_point(lon, lat)) "
+          f"AND ts >= TIMESTAMP '{{T0}}' AND ts < TIMESTAMP '{{T1}}'")
+    rt = spark.sql(qt)
+    optt = rt._jdf.queryExecution().optimizedPlan().toString()
+    gott = sorted(r["doc_id"] for r in rt.collect())
+    mt = ((pdf_t.lon >= 10) & (pdf_t.lon <= 20) & (pdf_t.lat >= 10) & (pdf_t.lat <= 20)
+          & (pdf_t.ts >= pd.Timestamp(T0)) & (pdf_t.ts < pd.Timestamp(T1)))
+    out["z3_time_injected"] = bool(
+        _re.search(r"time_bin#\\d+ >= ", optt) and _re.search(r"time_bin#\\d+ <= ", optt)
+        and _re.search(r"cell_bucket#\\d+ (=|IN) ", optt))
+    out["z3_time_match"] = gott == sorted(pdf_t.doc_id[mt].tolist()) and len(gott) > 0
+
+    # time-only window (no spatial conjunct): time_bin bounds alone
+    qt2 = (f"SELECT count(*) AS n FROM pts_t WHERE ts >= TIMESTAMP '{{T0}}' "
+           f"AND ts < TIMESTAMP '{{T1}}'")
+    rt2 = spark.sql(qt2)
+    optt2 = rt2._jdf.queryExecution().optimizedPlan().toString()
+    nt = int(((pdf_t.ts >= pd.Timestamp(T0)) & (pdf_t.ts < pd.Timestamp(T1))).sum())
+    out["time_only_injected"] = bool(_re.search(r"time_bin#\\d+ >= ", optt2))
+    out["time_only_match"] = rt2.collect()[0]["n"] == nt and nt > 0
+
+    # a timestamp bound under OR is not a top-level conjunct: no injection
+    qt3 = (f"SELECT count(*) AS n FROM pts_t WHERE ts >= TIMESTAMP '{{T0}}' "
+           "OR doc_id = 1")
+    rt3 = spark.sql(qt3)
+    optt3 = rt3._jdf.queryExecution().optimizedPlan().toString()
+    nt3 = int(((pdf_t.ts >= pd.Timestamp(T0)) | (pdf_t.doc_id == 1)).sum())
+    out["time_or_not_injected"] = not _re.search(r"time_bin#\\d+ >= ", optt3)
+    out["time_or_match"] = rt3.collect()[0]["n"] == nt3
+
     print("RESULT " + json.dumps(out))
     spark.stop()
     """
@@ -170,4 +212,10 @@ def test_jvm_rule_injects_prunes_and_matches(classes_dir, tmp_path):
         "const_pred_not_injected": True,
         "const_pred_match": True,
         "derived_alias_match": True,
+        "z3_time_injected": True,
+        "z3_time_match": True,
+        "time_only_injected": True,
+        "time_only_match": True,
+        "time_or_not_injected": True,
+        "time_or_match": True,
     }
