@@ -1001,6 +1001,17 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per-language
+    head/middle/tail tertiles by per-doc mean token NLL under the corpus
+    unigram LM.  Score is integer micros (per-token NLL quantized once,
+    doc score an IEEE-exact int/int division), so tertile order is
+    ulp-independent; ties break by doc_id."""
+    from .functions.text import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -1251,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
         "line_dedup": q_line_dedup,
+        "ccnet_buckets": q_ccnet_buckets,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -2139,6 +2151,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * SUM(CASE WHEN f > 1 THEN m ELSE 0 END)) // SUM(m) AS BIGINT) AS dup_permille
             FROM per JOIN tot USING (h)
             GROUP BY doc_id
+        """,
+        "ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, lang, UNNEST(list_filter(
+                       regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok
+              FROM documents),
+            tf AS (SELECT lang, doc_id, tok, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2, 3),
+            freq AS (SELECT lang, tok, SUM(tf) AS cnt FROM tf GROUP BY 1, 2),
+            total AS (SELECT lang, SUM(cnt) AS total FROM freq GROUP BY 1),
+            nll AS (
+              SELECT freq.lang, tok,
+                     CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                                * 1000000) AS BIGINT) AS nll_micros
+              FROM freq JOIN total USING (lang)),
+            scored AS (
+              SELECT tf.lang, tf.doc_id,
+                     CAST(ROUND(SUM(tf.tf * nll.nll_micros) / SUM(tf.tf)) AS BIGINT)
+                       AS ppl_micros
+              FROM tf JOIN nll USING (lang, tok)
+              GROUP BY 1, 2)
+            SELECT doc_id, lang, ppl_micros,
+                   CASE NTILE(3) OVER (PARTITION BY lang
+                                       ORDER BY ppl_micros, doc_id)
+                     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                   END AS bucket
+            FROM scored
         """,
         "doc_repetition": """
             WITH t AS (

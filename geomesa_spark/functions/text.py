@@ -438,3 +438,98 @@ def line_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.expr("(1000 * n_dup_lines) div n_lines").alias("dup_permille"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    cache_tf: bool = False,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every document by a language model and split each
+    language into head / middle / tail tertiles; the head feeds training,
+    the tail gets filtered or down-weighted.  The LM here is the corpus
+    unigram model itself (CCNet uses KenLM 5-gram; the bucketing
+    machinery — per-doc score, per-language percentile split — is
+    identical and the unigram model needs no external artifact).
+
+    Per-doc score = mean token negative-log-likelihood under the
+    per-language unigram distribution (log perplexity).  Buckets are
+    ntile(n) per language ordered by score ascending: bucket 1 = head
+    (most fluent), last = tail.
+
+    Float discipline for cross-engine exactness (same convention as
+    :func:`tfidf_topk`): each distinct (lang, token)'s -ln(p) is computed
+    ONCE from integer counts and immediately quantized to micros; a doc's
+    score is then the exact integer sum(tf * nll_micros) divided by the
+    integer token count — an IEEE-exact int/int division both engines
+    round identically — so tertile order cannot depend on engine ulps.
+    Ties break by id.
+
+    100-TB shape: tokenize + per-(lang, doc, token) counts are ONE
+    map-side-combinable shuffle; the frequency and total tables aggregate
+    those already-combined counts (tiny); totals broadcast; the
+    vocabulary-sized nll table joins back on (lang, token) — broadcastable
+    for real vocabularies, sort-merge beyond the ceiling, unskewed (token
+    hash).  The final ntile window runs over the SCORED table (one narrow
+    row per document, not per token); a language so large its scored rows
+    skew one partition is exactly CCNet's sharding unit (they bucket per
+    language shard), and an approx-percentile split is the documented
+    fallback at that scale.
+
+    The tf table feeds both the frequency model and the doc scores; with
+    pure lineage Spark tokenizes the corpus TWICE (two scan branches —
+    fine at test scale, visible in .explain).  Pass ``cache_tf=True`` in
+    production to persist the post-combine (lang, doc, token, tf) rows to
+    disk and tokenize once; the contract path stays side-effect free.
+
+    Returns (id_col, lang_col, ppl_micros, bucket) with bucket in
+    'head' | 'middle' | 'tail' (n_buckets=3; other n label 'b<k>').
+    Docs with zero tokens have no score and are absent (documented).
+    """
+    from pyspark.sql import Window
+
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    tf = (
+        df.select(id_col, lang_col, F.explode(F.expr(toks)).alias("tok"))
+        .groupBy(lang_col, id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if cache_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.DISK_ONLY)
+    freq = tf.groupBy(lang_col, "tok").agg(F.sum("tf").alias("cnt"))
+    total = freq.groupBy(lang_col).agg(F.sum("cnt").alias("total"))
+    nll = (
+        freq.join(F.broadcast(total), lang_col)
+        .withColumn(
+            "nll_micros",
+            F.expr(
+                "CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ),
+        )
+        .select(lang_col, "tok", "nll_micros")
+    )
+    scored = (
+        tf.join(nll, [lang_col, "tok"])
+        .groupBy(lang_col, id_col)
+        .agg(
+            F.expr("CAST(ROUND(SUM(tf * nll_micros) / SUM(tf)) AS BIGINT)").alias(
+                "ppl_micros"
+            )
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy("ppl_micros", id_col)
+    if n_buckets == 3:
+        label = "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+    else:
+        label = "concat('b', CAST(nt AS STRING))"
+    return (
+        scored.withColumn("nt", F.ntile(n_buckets).over(w))
+        .select(id_col, lang_col, "ppl_micros", F.expr(label).alias("bucket"))
+    )

@@ -705,3 +705,34 @@ def test_line_dedup_stats_planted(spark):
     assert (got[1]["n_lines"], got[1]["n_dup_lines"], got[1]["dup_permille"]) == (3, 2, 666)
     assert (got[2]["n_lines"], got[2]["n_dup_lines"], got[2]["dup_permille"]) == (2, 1, 500)
     assert (got[3]["n_lines"], got[3]["n_dup_lines"], got[3]["dup_permille"]) == (1, 0, 0)
+
+
+def test_ccnet_perplexity_buckets_planted(spark):
+    """CCNet bucketing on a hand-computed unigram corpus: per-language
+    NLL quantized to micros, tertiles ordered ascending (head = most
+    fluent), languages scored independently, short languages fill buckets
+    1..n in order, empty docs absent."""
+    from geomesa_spark.functions.text import ccnet_perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a a a a"),
+            (2, "en", "a a a b"),
+            (3, "en", "a b b b"),
+            (10, "fr", "x"),
+            (11, "fr", "x y"),
+            (20, "en", ""),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r["doc_id"]: r for r in ccnet_perplexity_buckets(docs).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}  # empty doc absent
+    # en: p(a)=8/12, p(b)=4/12 -> nll micros 405465 / 1098612
+    assert got[1]["ppl_micros"] == 405465
+    assert got[2]["ppl_micros"] == 578752   # 2315007/4 rounded half-up
+    assert got[3]["ppl_micros"] == 925325
+    assert [got[i]["bucket"] for i in (1, 2, 3)] == ["head", "middle", "tail"]
+    # fr is scored on its OWN distribution: p(x)=2/3, p(y)=1/3
+    assert got[10]["ppl_micros"] == 405465
+    assert got[11]["ppl_micros"] == 752039  # 1504077/2 = .5 rounds up
+    assert [got[i]["bucket"] for i in (10, 11)] == ["head", "middle"]
