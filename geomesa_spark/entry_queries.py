@@ -1012,6 +1012,47 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_perplexity_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2): per-line
+    terminal-punctuation / min-words / javascript rules, page-level
+    lorem-ipsum / brace / min-kept-lines rules; zero shuffles.
+
+    The synthetic corpus is single-line and unpunctuated, so the query
+    first derives a deterministic lined corpus (the same expression the
+    oracle runs): frequent words become sentence breaks, and doc_id
+    residues inject lorem-ipsum / javascript / brace pages so every
+    rule fires on real rows.
+    """
+    from .functions.text import c4_line_filters
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(C4_LINED_TEXT_SQL).alias("text")
+    )
+    return c4_line_filters(lined)
+
+
+# One expression, two engines: Spark SQL and DuckDB agree on replace()
+# (left-to-right, non-overlapping), chr(10), and % on BIGINT.
+C4_LINED_TEXT_SQL = (
+    "concat("
+    "replace(replace(text, ' table ', concat('.', chr(10))),"
+    " ' query ', concat('?', chr(10))), "
+    "CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), 'lorem ipsum') "
+    "WHEN doc_id % 11 = 3 THEN "
+    "concat(chr(10), 'this page uses javascript for the whole menu.') "
+    "WHEN doc_id % 13 = 5 THEN ' {' ELSE '' END)"
+)
+
+
+def q_temp_mixture(spark, sf_dir):
+    """Temperature-based domain mixing (exponent-smoothed source
+    sampling, alpha=0.5): per-source quota = k * sqrt(n)/sum(sqrt(n)),
+    integer-exact in micros; md5-rank membership within each source."""
+    from .operators.packing import temperature_mixture_sample
+
+    return temperature_mixture_sample(_t(spark, sf_dir, "documents"), k=200)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -1263,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "line_dedup": q_line_dedup,
         "ccnet_buckets": q_ccnet_buckets,
+        "c4_filter": q_c4_filter,
+        "temp_mixture": q_temp_mixture,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -2178,6 +2221,49 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
                    END AS bucket
             FROM scored
+        """,
+        "c4_filter": f"""
+            WITH lined AS (
+              SELECT doc_id, {C4_LINED_TEXT_SQL} AS text FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       l -> l != '' AND right(l, 1) IN ('.', '!', '?', '"')
+                            AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                                w -> w != '')) >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM lined)
+            SELECT doc_id, n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   -- DuckDB: array_to_string([]) is NULL; Spark array_join is ''
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   (len(kept) >= 3
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(text, '{{')) AS page_kept
+            FROM k
+        """,
+        "temp_mixture": """
+            WITH w AS (
+              SELECT source,
+                     CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS w_micros
+              FROM documents GROUP BY source),
+            q AS (
+              SELECT source,
+                     CAST((200 * w_micros) // SUM(w_micros) OVER () AS BIGINT)
+                       AS quota
+              FROM w),
+            r AS (
+              SELECT source, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                          AS BIGINT) AS rank
+              FROM documents)
+            SELECT r.source, doc_id, rank, quota
+            FROM r JOIN q ON r.source = q.source
+            WHERE rank <= quota
         """,
         "doc_repetition": """
             WITH t AS (

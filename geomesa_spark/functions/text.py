@@ -533,3 +533,56 @@ def ccnet_perplexity_buckets(
         scored.withColumn("nt", F.ntile(n_buckets).over(w))
         .select(id_col, lang_col, "ppl_micros", F.expr(label).alias("bucket"))
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2, the pass
+    that turned Common Crawl into C4):
+
+    Per LINE (after trimming spaces): retain only lines that (a) end in
+    a terminal punctuation mark ('.', '!', '?', or a closing '"'),
+    (b) contain at least ``min_words`` whitespace-separated words, and
+    (c) do not contain the word 'javascript' (case-insensitive).
+
+    Per PAGE: ``page_kept`` is false when fewer than ``min_kept_lines``
+    lines survive (the paper's "fewer than 3 sentences" rule as
+    re-implemented by Dolma / RedPajama-v2: surviving lines stand in for
+    sentences), or the page contains 'lorem ipsum' (case-insensitive),
+    or a '{' (code marker).  The paper's fourth page rule — the external
+    "bad words" list — is an artifact this container cannot carry; the
+    hook is the same contains() shape and is documented rather than
+    shipped with a placeholder list.
+
+    All rows are returned with the flag (callers filter); ``clean_text``
+    is the newline-join of surviving lines, so the op is also the
+    extraction step, not just a classifier.
+
+    100-TB shape: a single narrow projection — split / transform /
+    filter / array_join are all JVM codegen, ZERO shuffles, text never
+    leaves its row.  Column-pruned to (id, text) at the scan.
+
+    Returns (id_col, n_lines, n_kept, clean_text, page_kept).
+    """
+    line_ok = (
+        f"l != '' AND right(l, 1) IN ('.', '!', '?', '\"') "
+        f"AND size(filter(split(l, '\\\\s+'), w -> w != '')) >= {min_words} "
+        f"AND NOT contains(lower(l), 'javascript')"
+    )
+    kept = f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), l -> {line_ok})"
+    return df.select(
+        id_col,
+        F.expr(f"CAST(size(split({text_col}, '\\n')) AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept"),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(
+            f"size({kept}) >= {min_kept_lines} "
+            f"AND NOT contains(lower({text_col}), 'lorem ipsum') "
+            f"AND NOT contains({text_col}, '{{')"
+        ).alias("page_kept"),
+    )

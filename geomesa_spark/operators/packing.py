@@ -97,3 +97,64 @@ def stratified_sample(
         .filter(F.col("rank") <= k)
         .select(*strata_cols, id_col, "rank")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    k: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixing: resample the corpus so each
+    source's share of the k-document training mix is proportional to
+    n_source ** alpha instead of raw counts — the multilingual /
+    multi-domain rebalancing rule (exponent-smoothed sampling in mBERT
+    and XLM-R; alpha < 1 up-weights small domains, alpha = 1 keeps the
+    natural mixture, alpha = 0 is uniform).  :func:`stratified_sample`
+    is the alpha = 0 balanced special case with a per-stratum constant.
+
+    Quota math is integer-exact cross-engine: each source's weight is
+    sqrt(n) (alpha = 0.5, the default) quantized ONCE to micros —
+    IEEE 754 requires sqrt correctly rounded, so both engines produce
+    the identical BIGINT — and the quota is the integer division
+    (k * w_micros) div sum(w_micros), under-allocating at most one doc
+    per source (floor; documented, deterministic).  For alpha not in
+    {0.5, 1.0} the weight uses pow(), which IEEE does not require
+    correctly rounded — still deterministic per engine, but the oracle
+    contract path pins alpha = 0.5.  Within a source, membership is the
+    md5-rank order (same portable idiom as :func:`stratified_sample`).
+
+    100-TB shape: one tiny count agg (map-side combined), quotas
+    broadcast back, one per-source window for the rank.  A source so
+    large its rank window skews one partition is handled the same way
+    stratified_sample documents: pre-filter by an md5-prefix range to a
+    superset before ranking.
+
+    Returns (source_col, id_col, rank, quota) for the selected docs.
+    """
+    if alpha == 0.5:
+        w_sql = "SQRT(CAST(n AS DOUBLE))"
+    elif alpha == 1.0:
+        w_sql = "CAST(n AS DOUBLE)"
+    else:
+        w_sql = f"POW(CAST(n AS DOUBLE), {float(alpha)})"
+    weights = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w_micros", F.expr(f"CAST(ROUND({w_sql} * 1000000) AS BIGINT)"))
+    )
+    quotas = weights.withColumn(
+        "quota",
+        F.expr(f"CAST(({k} * w_micros) div SUM(w_micros) OVER () AS BIGINT)"),
+    ).select(source_col, "quota")
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(source_col, id_col)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(quotas), source_col)
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(source_col, id_col, "rank", "quota")
+    )

@@ -736,3 +736,51 @@ def test_ccnet_perplexity_buckets_planted(spark):
     assert got[10]["ppl_micros"] == 405465
     assert got[11]["ppl_micros"] == 752039  # 1504077/2 = .5 rounds up
     assert [got[i]["bucket"] for i in (10, 11)] == ["head", "middle"]
+
+
+def test_c4_line_filters_rules(spark):
+    """Every C4 rule fires: terminal punctuation, min-words, javascript,
+    lorem-ipsum page, brace page, min-kept-lines page."""
+    from geomesa_spark.functions.text import c4_line_filters
+
+    good = "this line has enough words here."
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> page kept; short/unterminated lines dropped
+            (1, f"{good}\nanother line with five good words!\nshe said \"stop right there now.\"\nno punct here at all\ntiny."),
+            # only 2 good lines -> page dropped by min_kept_lines
+            (2, f"{good}\n{good}"),
+            # javascript line dropped even though well-formed
+            (3, f"{good}\n{good}\nplease enable JavaScript to view this."),
+            # lorem ipsum anywhere kills the page, lines still counted
+            (4, f"{good}\n{good}\n{good}\nLorem Ipsum dolor."),
+            # brace kills the page
+            (5, f"{good}\n{good}\n{good}\nfunction f() {{ return 1; }}"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in c4_line_filters(docs).collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept"] == 3
+    assert got[1]["page_kept"] is True
+    assert got[1]["clean_text"].split("\n")[2] == 'she said "stop right there now."'
+    assert got[2]["n_kept"] == 2 and got[2]["page_kept"] is False
+    assert got[3]["n_kept"] == 2 and got[3]["page_kept"] is False
+    assert got[4]["n_kept"] == 3 and got[4]["page_kept"] is False
+    assert got[5]["page_kept"] is False
+    assert got[6]["n_lines"] == 1 and got[6]["n_kept"] == 0
+    assert got[6]["clean_text"] == "" and got[6]["page_kept"] is False
+
+
+def test_c4_line_filters_trims_before_judging(spark):
+    from geomesa_spark.functions.text import c4_line_filters
+
+    docs = spark.createDataFrame(
+        [(1, "   padded line with enough words here.   \n   \n")],
+        ["doc_id", "text"],
+    )
+    row = c4_line_filters(docs).collect()[0]
+    # trailing spaces trimmed before the terminal-punctuation check;
+    # whitespace-only middle line dropped; trailing empty split kept in n_lines
+    assert row["n_lines"] == 3 and row["n_kept"] == 1
+    assert row["clean_text"] == "padded line with enough words here."

@@ -118,3 +118,53 @@ def test_pack_sequences_duplicate_ids_rows_frame(spark):
     out = pack_sequences(df, budget=4).toPandas().sort_values("start_offset")
     assert out["start_offset"].tolist() == [0, 3, 6]
     assert out["pack_id"].tolist() == [0, 0, 1]
+
+
+class TestTemperatureMixture:
+    def test_sqrt_quotas_integer_exact(self, spark):
+        """Sources of 100/25/4 docs, alpha=0.5 -> weights 10/5/2 (micros),
+        k=34 -> quotas floor(34*w/17) = 20/10/4."""
+        from geomesa_spark.operators.packing import temperature_mixture_sample
+
+        sizes = {"big": 100, "mid": 25, "tiny": 4}
+        rows = [
+            {"doc_id": i * 1000 + j, "source": s}
+            for i, (s, n) in enumerate(sizes.items())
+            for j in range(n)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = temperature_mixture_sample(df, k=34).toPandas()
+        got = out.groupby("source")["doc_id"].count().to_dict()
+        assert got == {"big": 20, "mid": 10, "tiny": 4}
+        assert set(out["quota"].unique()) == {20, 10, 4}
+
+    def test_membership_is_md5_rank(self, spark):
+        from geomesa_spark.operators.packing import temperature_mixture_sample
+
+        rows = [{"doc_id": j, "source": "s"} for j in range(50)]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = temperature_mixture_sample(df, k=10).toPandas()
+        # one source: quota = floor(10 * w / w) = 10
+        want = sorted(range(50), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+        assert set(out["doc_id"]) == set(want)
+
+    def test_alpha_one_is_natural_mixture(self, spark):
+        from geomesa_spark.operators.packing import temperature_mixture_sample
+
+        rows = [{"doc_id": j, "source": "a" if j < 90 else "b"} for j in range(100)]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = temperature_mixture_sample(df, k=10, alpha=1.0).toPandas()
+        got = out.groupby("source")["doc_id"].count().to_dict()
+        assert got == {"a": 9, "b": 1}
+
+    def test_quota_capped_by_source_size(self, spark):
+        """quota may exceed a small source's population; rank<=quota then
+        keeps the whole source (floor allocation never errors)."""
+        from geomesa_spark.operators.packing import temperature_mixture_sample
+
+        rows = [{"doc_id": j, "source": "a" if j < 64 else "b"} for j in range(68)]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        # weights 8e6 / 2e6 -> quotas floor(100*8/10)=80 (>64), floor(100*2/10)=20 (>4)
+        out = temperature_mixture_sample(df, k=100).toPandas()
+        got = out.groupby("source")["doc_id"].count().to_dict()
+        assert got == {"a": 64, "b": 4}
