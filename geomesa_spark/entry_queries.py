@@ -1053,6 +1053,17 @@ def q_temp_mixture(spark, sf_dir):
     return temperature_mixture_sample(_t(spark, sf_dir, "documents"), k=200)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): top-150 non-src0
+    docs whose hashed-unigram profile best matches src0's, scored by the
+    integer-exact micros log-ratio sum."""
+    from .operators.packing import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"), k=150, target_expr="source = 'src0'"
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -1306,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "c4_filter": q_c4_filter,
         "temp_mixture": q_temp_mixture,
+        "dsir_select": q_dsir_select,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -2264,6 +2276,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, doc_id, rank, quota
             FROM r JOIN q ON r.source = q.source
             WHERE rank <= quota
+        """,
+        "dsir_select": """
+            WITH flagged AS (
+              SELECT doc_id, (source = 'src0') AS is_t, text FROM documents),
+            toks AS (
+              SELECT doc_id, is_t, UNNEST(list_filter(
+                       regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok
+              FROM flagged),
+            tf AS (
+              SELECT doc_id, is_t,
+                     CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+                       AS bucket,
+                     COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2, 3),
+            p AS (SELECT bucket, SUM(tf) AS p_cnt FROM tf WHERE is_t GROUP BY 1),
+            q AS (SELECT bucket, SUM(tf) AS q_cnt FROM tf WHERE NOT is_t GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(p_cnt) FROM p) AS p_total,
+                           (SELECT SUM(q_cnt) FROM q) AS q_total),
+            r AS (
+              SELECT coalesce(q.bucket, p.bucket) AS bucket,
+                     CAST(ROUND((
+                       ln(CAST(coalesce(p_cnt, 0) + 1 AS DOUBLE)
+                          / CAST(p_total + 1024 AS DOUBLE))
+                       - ln(CAST(coalesce(q_cnt, 0) + 1 AS DOUBLE)
+                            / CAST(q_total + 1024 AS DOUBLE))
+                     ) * 1000000) AS BIGINT) AS ratio_micros
+              FROM q FULL OUTER JOIN p ON q.bucket = p.bucket CROSS JOIN tot),
+            s AS (
+              SELECT doc_id, SUM(tf * ratio_micros) AS score_micros
+              FROM tf JOIN r USING (bucket) WHERE NOT is_t GROUP BY 1)
+            SELECT doc_id, score_micros,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM s ORDER BY score_micros DESC, doc_id LIMIT 150
         """,
         "doc_repetition": """
             WITH t AS (

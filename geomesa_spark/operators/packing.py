@@ -158,3 +158,97 @@ def temperature_mixture_sample(
         .filter(F.col("rank") <= F.col("quota"))
         .select(source_col, id_col, "rank", "quota")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int,
+    target_expr: str,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick the ``k`` raw documents whose hashed-unigram
+    profile best matches a small target domain.  Both the target
+    distribution p and the raw distribution q are bag-of-hashed-ngrams
+    unigram models (the paper hashes uni+bigrams to 10k buckets; here
+    whitespace unigrams to ``n_buckets``, the same tokenizer every other
+    text op uses); a candidate's importance score is
+    ``sum_b tf_b * (ln p_b - ln q_b)`` with Laplace +1 smoothing.  The
+    paper perturbs scores with Gumbel noise to sample-without-replacement;
+    this implementation takes the deterministic top-k (the noise-free
+    limit), which keeps the op oracle-exact — documented deviation.
+
+    ``target_expr`` is a SQL boolean over df's columns (e.g.
+    ``"lang = 'en'"`` or ``"source = 'src0'"``).  Target rows define p and
+    are EXCLUDED from the candidate pool (the paper's raw/target split;
+    here the split is a predicate over one table).
+
+    Float discipline (same convention as ccnet_perplexity_buckets /
+    tfidf_topk): each bucket's log-ratio is computed ONCE from integer
+    counts and quantized to micros; a doc's score is then the exact
+    integer ``SUM(tf * ratio_micros)``, so ranking cannot depend on
+    engine ulps.  Bucket ids come from the md5-prefix trick
+    (``conv(substr(md5(tok),1,15),16,10) % n_buckets``) so Spark and
+    DuckDB hash identically.
+
+    100-TB shape: tokenize + per-(doc, bucket) tf is ONE map-side-
+    combinable shuffle; p and q are per-bucket aggregates of those
+    combined rows (<= n_buckets rows each — tiny); totals and the
+    ratio table broadcast back; the final selection is
+    ``orderBy(desc(score)).limit(k)`` = TakeOrderedAndProject, a
+    distributed partial top-k with only k rows to the driver-side rank
+    window.  No all-pairs stage, no unbounded collect.
+
+    Returns (id_col, score_micros, rank), rank 1 = best match.
+    """
+    flagged = df.select(
+        id_col, F.expr(target_expr).alias("_is_target"), text_col
+    )
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    bucket = f"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % {n_buckets}"
+    tf = (
+        flagged.select(id_col, "_is_target", F.explode(F.expr(toks)).alias("tok"))
+        .select(id_col, "_is_target", F.expr(bucket).alias("bucket"))
+        .groupBy(id_col, "_is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p_cnt = (
+        tf.filter("_is_target")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("p_cnt"))
+    )
+    q_cnt = (
+        tf.filter("NOT _is_target")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("q_cnt"))
+    )
+    totals = p_cnt.agg(F.sum("p_cnt").alias("p_total")).crossJoin(
+        q_cnt.agg(F.sum("q_cnt").alias("q_total"))
+    )
+    ratios = (
+        q_cnt.join(p_cnt, "bucket", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "ratio_micros",
+            F.expr(
+                "CAST(ROUND(("
+                f"ln(CAST(coalesce(p_cnt, 0) + 1 AS DOUBLE) / CAST(p_total + {n_buckets} AS DOUBLE))"
+                f" - ln(CAST(coalesce(q_cnt, 0) + 1 AS DOUBLE) / CAST(q_total + {n_buckets} AS DOUBLE))"
+                ") * 1000000) AS BIGINT)"
+            ),
+        )
+        .select("bucket", "ratio_micros")
+    )
+    scored = (
+        tf.filter("NOT _is_target")
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("tf * ratio_micros")).alias("score_micros"))
+    )
+    topk = scored.orderBy(F.desc("score_micros"), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.desc("score_micros"), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        id_col, "score_micros", "rank"
+    )

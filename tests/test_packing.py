@@ -168,3 +168,85 @@ class TestTemperatureMixture:
         out = temperature_mixture_sample(df, k=100).toPandas()
         got = out.groupby("source")["doc_id"].count().to_dict()
         assert got == {"a": 64, "b": 4}
+
+
+class TestDsirSelect:
+    @staticmethod
+    def _score(texts_by_id, target_ids, n_buckets=1024):
+        """Plain-Python DSIR oracle: md5 buckets, Laplace-smoothed
+        log-ratio quantized to micros, integer tf-weighted sum."""
+        import math
+        from collections import Counter
+
+        def buckets(text):
+            return [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+                for t in text.split()
+                if t
+            ]
+
+        p, q = Counter(), Counter()
+        for i, txt in texts_by_id.items():
+            (p if i in target_ids else q).update(buckets(txt))
+        pt, qt = sum(p.values()), sum(q.values())
+        all_b = set(p) | set(q)
+        ratio = {
+            b: round(
+                (
+                    math.log((p.get(b, 0) + 1) / (pt + n_buckets))
+                    - math.log((q.get(b, 0) + 1) / (qt + n_buckets))
+                )
+                * 1_000_000
+            )
+            for b in all_b
+        }
+        out = {}
+        for i, txt in texts_by_id.items():
+            if i in target_ids:
+                continue
+            tf = Counter(buckets(txt))
+            out[i] = sum(c * ratio[b] for b, c in tf.items())
+        return out
+
+    def test_planted_affinity_and_exact_scores(self, spark):
+        from geomesa_spark.operators.packing import dsir_select
+
+        texts = {
+            1: "alpha beta gamma alpha",      # target
+            2: "alpha beta gamma beta",       # target
+            3: "alpha beta delta",            # candidate, high affinity
+            4: "omicron sigma tau upsilon",   # candidate, no overlap
+            5: "beta gamma gamma",            # candidate, highest affinity
+        }
+        df = spark.createDataFrame(
+            [(i, t, "t" if i in (1, 2) else "c") for i, t in texts.items()],
+            ["doc_id", "text", "source"],
+        )
+        got = dsir_select(df, k=3, target_expr="source = 't'").toPandas()
+        want = self._score(texts, {1, 2})
+        order = sorted(want, key=lambda i: (-want[i], i))
+        assert got["doc_id"].tolist() == order
+        assert got["rank"].tolist() == [1, 2, 3]
+        assert {r.doc_id: r.score_micros for r in got.itertuples()} == {
+            i: want[i] for i in order
+        }
+        # overlap ordering sanity: both overlapping candidates beat the alien
+        assert order.index(5) < order.index(4) and order.index(3) < order.index(4)
+
+    def test_target_rows_never_selected(self, spark):
+        from geomesa_spark.operators.packing import dsir_select
+
+        rows = [(i, "x y z", "t" if i < 3 else "c") for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = dsir_select(df, k=10, target_expr="source = 't'").toPandas()
+        assert set(got["doc_id"]) == {3, 4, 5}
+
+    def test_empty_token_docs_absent(self, spark):
+        from geomesa_spark.operators.packing import dsir_select
+
+        df = spark.createDataFrame(
+            [(1, "alpha", "t"), (2, "alpha beta", "c"), (3, "   ", "c")],
+            ["doc_id", "text", "source"],
+        )
+        got = dsir_select(df, k=5, target_expr="source = 't'").toPandas()
+        assert got["doc_id"].tolist() == [2]
