@@ -1064,6 +1064,42 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII counting + masking (Dolma regex tier): e-mail / IPv4 / phone
+    spans counted and replaced with typed mask tokens, one codegen
+    projection.  The synthetic corpus carries no PII, so the query first
+    derives a deterministic PII-bearing corpus (the same expression the
+    oracle runs): doc_id residues append an e-mail, a dotted quad, or a
+    phone number so every rule fires on real rows."""
+    from .functions.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PII_TEXT_SQL).alias("text")
+    )
+    return pii_redact(docs)
+
+
+# One expression, two engines: concat/CASE/lpad/CAST(STRING) behave
+# identically in Spark SQL and DuckDB (STRING aliases VARCHAR there).
+PII_TEXT_SQL = (
+    "concat(text, "
+    "CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', "
+    "CAST(doc_id AS STRING), '@example.com now.') ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 2 THEN concat(' host 10.', "
+    "CAST(doc_id % 256 AS STRING), '.0.1 unreachable.') ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 4 THEN concat(' call +1 555 ', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today.') ELSE '' END)"
+)
+
+# the oracle interpolates the SAME pattern constants the engine compiles
+# (Java-regex ∩ RE2 dialect; DuckDB quoted strings pass backslashes through)
+from .functions.text import (  # noqa: E402
+    PII_EMAIL_RE as _PII_EMAIL,
+    PII_IPV4_RE as _PII_IPV4,
+    PII_PHONE_RE as _PII_PHONE,
+)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality flags with integer-exact semantics: token count, char count,
     long-doc/short-doc flags, stopword-poor flag."""
@@ -1318,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "temp_mixture": q_temp_mixture,
         "dsir_select": q_dsir_select,
+        "pii_redact": q_pii_redact,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -2277,6 +2314,34 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN q ON r.source = q.source
             WHERE rank <= quota
         """,
+        "pii_redact": (
+            """
+            WITH p AS (SELECT doc_id, """
+            + PII_TEXT_SQL
+            + """ AS text FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '"""
+            + _PII_EMAIL
+            + """')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '"""
+            + _PII_IPV4
+            + """')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '"""
+            + _PII_PHONE
+            + """')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '"""
+            + _PII_EMAIL
+            + """', '|EMAIL|', 'g'),
+                     '"""
+            + _PII_IPV4
+            + """', '|IP|', 'g'),
+                     '"""
+            + _PII_PHONE
+            + """', '|PHONE|', 'g') AS clean_text
+            FROM p
+        """
+        ),
         "dsir_select": """
             WITH flagged AS (
               SELECT doc_id, (source = 'src0') AS is_t, text FROM documents),

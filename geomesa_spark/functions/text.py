@@ -586,3 +586,55 @@ def c4_line_filters(
             f"AND NOT contains({text_col}, '{{')"
         ).alias("page_kept"),
     )
+
+
+# PII patterns shared verbatim by the Spark path and the DuckDB oracle —
+# written in the Java-regex ∩ RE2 common dialect (no lookaround, no
+# backrefs) so both engines match identical spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2} \d{3} \d{4}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII detection + masking (the Dolma / BigScience-ROOTS pre-release
+    pass): count and redact e-mail addresses, IPv4 addresses, and
+    phone-shaped numbers, replacing each span with a typed mask token
+    (``|EMAIL|`` / ``|IP|`` / ``|PHONE|``) so downstream tokenization
+    sees a stable placeholder instead of the raw identifier.
+
+    The three rules are the regex tier every public pipeline ships
+    (Dolma's postprocess step; ROOTS adds an NER tier on top — a model
+    artifact this container cannot carry, same declared seam as C4's
+    bad-words list).  E-mails are masked FIRST so an address's host part
+    can never be re-matched as a dotted quad; the IPv4 rule then runs
+    before the phone rule (disjoint alphabets, order documented not
+    load-bearing).
+
+    100-TB shape: one codegen projection — ``regexp_count`` /
+    ``regexp_replace`` are JVM built-ins, ZERO shuffles, text never
+    leaves its row; column-pruned to (id, text) at the scan.
+
+    Returns (id_col, n_emails, n_ips, n_phones, clean_text).
+    """
+    col = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, F.lit(PII_EMAIL_RE), F.lit("|EMAIL|")),
+            F.lit(PII_IPV4_RE),
+            F.lit("|IP|"),
+        ),
+        F.lit(PII_PHONE_RE),
+        F.lit("|PHONE|"),
+    )
+    return df.select(
+        id_col,
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        masked.alias("clean_text"),
+    )

@@ -784,3 +784,46 @@ def test_c4_line_filters_trims_before_judging(spark):
     # whitespace-only middle line dropped; trailing empty split kept in n_lines
     assert row["n_lines"] == 3 and row["n_kept"] == 1
     assert row["clean_text"] == "padded line with enough words here."
+
+
+def test_pii_redact_rules(spark):
+    from geomesa_spark.functions.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk and d@e.io today"),
+            (2, "gateway 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 555 0042 or +44 123 4567 now"),
+            (4, "no identifiers here at all"),
+            (5, "mixed x@y.com near 8.8.8.8 and +1 555 9999"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["clean_text"] == "mail |EMAIL| and |EMAIL| today"
+    assert got[2]["n_ips"] == 2
+    assert got[2]["clean_text"] == "gateway |IP| and |IP| up"
+    assert got[3]["n_phones"] == 2
+    assert got[3]["clean_text"] == "call |PHONE| or |PHONE| now"
+    assert got[4]["clean_text"] == "no identifiers here at all"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+    assert got[5]["clean_text"] == "mixed |EMAIL| near |IP| and |PHONE|"
+
+
+def test_pii_redact_mask_ordering(spark):
+    """user@host with an alphabetic TLD is consumed whole by the e-mail
+    rule (host never re-matched as anything else); a dotted-QUAD host is
+    not an e-mail under the alphabetic-TLD pattern, so only the quad is
+    masked — and the per-rule counts are raw-text independent."""
+    from geomesa_spark.functions.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "root@box.example.net logged in"), (2, "root@10.1.2.3 logged in")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert got[1]["clean_text"] == "|EMAIL| logged in"
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 0
+    assert got[2]["clean_text"] == "root@|IP| logged in"
+    assert got[2]["n_emails"] == 0 and got[2]["n_ips"] == 1
