@@ -2369,7 +2369,8 @@ def oracle_sql() -> dict[str, str]:
                      ) * 1000000) AS BIGINT) AS ratio_micros
               FROM q FULL OUTER JOIN p ON q.bucket = p.bucket CROSS JOIN tot),
             s AS (
-              SELECT doc_id, SUM(tf * ratio_micros) AS score_micros
+              SELECT doc_id,
+                     CAST(SUM(tf * ratio_micros) AS BIGINT) AS score_micros
               FROM tf JOIN r USING (bucket) WHERE NOT is_t GROUP BY 1)
             SELECT doc_id, score_micros,
                    CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
