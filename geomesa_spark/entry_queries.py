@@ -1064,6 +1064,31 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring fraction (Lee et al. 2021 suffix-array
+    criterion at fixed window k=8): per-doc count of 8-token sliding
+    windows that occur a second time anywhere in the corpus.  Windows
+    leave the row as (id, md5) pairs; text never crosses a shuffle."""
+    from .functions.text import substring_dedup_stats
+
+    return substring_dedup_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_para_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup with first-occurrence survivorship
+    (Dolma's paragraph pass) over the deterministic lined corpus (the
+    same expression the oracle runs — the injected lorem-ipsum /
+    javascript lines repeat across docs so removal actually fires).
+    Only fixed-width hashes cross the shuffles; the surviving text is
+    verified via an order-sensitive fingerprint of kept paragraph md5s."""
+    from .functions.text import para_dedup
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(C4_LINED_TEXT_SQL).alias("text")
+    )
+    return para_dedup(lined)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII counting + masking (Dolma regex tier): e-mail / IPv4 / phone
     spans counted and replaced with typed mask tokens, one codegen
@@ -1354,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "temp_mixture": q_temp_mixture,
         "dsir_select": q_dsir_select,
+        "substring_dedup": q_substring_dedup,
+        "para_dedup": q_para_dedup,
         "pii_redact": q_pii_redact,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -2377,6 +2404,47 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM s ORDER BY score_micros DESC, doc_id LIMIT 150
         """,
+        "substring_dedup": """
+            WITH t AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS h
+              FROM t, UNNEST(range(1, len(toks) - 7 + 1)) AS r(i)),
+            per AS (SELECT doc_id, h, COUNT(*) AS m FROM w GROUP BY 1, 2),
+            tot AS (SELECT h, SUM(m) AS f FROM per GROUP BY 1)
+            SELECT per.doc_id,
+                   CAST(SUM(m) AS BIGINT) AS n_windows,
+                   CAST(SUM(CASE WHEN f > 1 THEN m ELSE 0 END) AS BIGINT)
+                     AS n_dup_windows,
+                   CAST((1000 * SUM(CASE WHEN f > 1 THEN m ELSE 0 END)) // SUM(m)
+                     AS BIGINT) AS dup_permille
+            FROM per JOIN tot USING (h) GROUP BY 1
+        """,
+        "para_dedup": """
+            WITH lined AS (
+              SELECT doc_id, {lined} AS text FROM documents),
+            t AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ps
+                  FROM lined),
+            paras AS (
+              SELECT doc_id, i - 1 AS pos, md5(ps[i]) AS h
+              FROM t, UNNEST(range(1, len(ps) + 1)) AS r(i)
+              WHERE ps[i] != ''),
+            flagged AS (
+              SELECT doc_id, pos, h,
+                     ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+                       AS keep
+              FROM paras)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+                        THEN md5(string_agg(CASE WHEN keep THEN h END, ''
+                                            ORDER BY pos))
+                   END AS kept_fingerprint
+            FROM flagged GROUP BY 1
+        """.format(lined=C4_LINED_TEXT_SQL),
         "doc_repetition": """
             WITH t AS (
               SELECT doc_id,

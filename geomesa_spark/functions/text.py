@@ -638,3 +638,141 @@ def pii_redact(
         F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
         masked.alias("clean_text"),
     )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its k-token sliding windows also occur
+    elsewhere in the corpus (or again in the same doc).  The paper
+    removes any 50-token span that appears verbatim twice; this operator
+    computes the per-doc duplicated-window fraction that drives the
+    removal / filtering decision.  Distinct from :func:`line_dedup_stats`
+    (line granularity, layout-dependent) and :func:`doc_repetition`
+    (WITHIN-doc grams only): a window here is duplicated if it occurs
+    ANYWHERE in the corpus a second time, which is exactly the
+    suffix-array criterion restricted to a fixed window length.
+
+    100-TB shape: windows are built row-locally in whole-stage codegen
+    (``transform(sequence(...), i -> md5(concat_ws(...)))``) and leave
+    the row as (id, md5) pairs — text never crosses a shuffle; both
+    counts are map-side-combinable partial aggregates; the frequency
+    join keys on the hash (uniform, no skew).  A true suffix array finds
+    variable-length maximal repeats; the fixed-k window criterion is the
+    standard distributed approximation (any duplicated span of length
+    ≥ k is caught by its first window — no false negatives for spans
+    ≥ k, and the paper's own removal unit is a fixed minimum length).
+
+    Output is integer-exact (permille via integer division).  Docs with
+    fewer than k tokens have zero windows and are absent (no
+    denominator) — same convention as :func:`line_dedup_stats`.
+    Returns (id_col, n_windows, n_dup_windows, dup_permille).
+    """
+    toks = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> length(x) > 0)")
+    # NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    # array (same trap as _gram_exprs) — short docs must be gated explicitly.
+    wins = F.expr(
+        "CASE WHEN size(_toks) < {k} THEN array() ELSE "
+        "transform(sequence(1, size(_toks) - {km1}), "
+        "i -> md5(concat_ws(' ', slice(_toks, i, {k})))) END".format(km1=k - 1, k=k)
+    )
+    per = (
+        df.select(id_col, toks.alias("_toks"))
+        .select(id_col, F.explode(wins).alias("_h"))
+        .groupBy(id_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    tot = per.groupBy("_h").agg(F.sum("_m").alias("_f"))
+    return (
+        per.join(tot, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("n_windows"),
+            F.sum(F.when(F.col("_f") > 1, F.col("_m")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_dup_windows").cast("bigint").alias("n_dup_windows"),
+            F.expr("(1000 * n_dup_windows) div n_windows").alias("dup_permille"),
+        )
+    )
+
+
+def para_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph deduplication with FIRST-OCCURRENCE
+    survivorship — Dolma's paragraph dedup pass: every non-empty
+    paragraph is kept only at its first occurrence in corpus order
+    (doc_id, position); later occurrences anywhere (other docs or the
+    same doc) are dropped.  :func:`line_dedup_stats` only MEASURES the
+    duplicate fraction; this operator performs the removal and returns a
+    verifiable fingerprint of each document's surviving text.
+
+    100-TB shape: paragraphs leave the row as (id, pos, md5) triples —
+    the text itself never crosses a shuffle; first occurrence per hash
+    is a map-side-combinable ``min(struct(doc_id, pos))`` aggregate
+    (no window over the full corpus); the reconstruction shuffle keys
+    on doc_id and carries only fixed-width hashes.  The surviving-text
+    fingerprint is md5 over the kept paragraphs' md5s in position order
+    — verifying content and order without moving text (a production
+    sink would join the keep-set back to the raw paragraphs).
+
+    Returns (id_col, n_paras, n_kept, kept_fingerprint); docs with zero
+    non-empty paragraphs are absent.  kept_fingerprint is NULL when the
+    doc keeps nothing.
+    """
+    paras = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"),
+        )
+        .filter(F.length("_p") > 0)
+        .select(id_col, "_pos", F.md5(F.col("_p")).alias("_h"))
+    )
+    first = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("_i"), F.col("_pos").alias("_o"))).alias(
+            "_first"
+        )
+    )
+    flagged = paras.join(first, "_h").select(
+        id_col,
+        "_pos",
+        "_h",
+        (
+            (F.col(id_col) == F.col("_first._i")) & (F.col("_pos") == F.col("_first._o"))
+        ).alias("_keep"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN _keep "
+                        "THEN struct(_pos, _h) END)), x -> x._h)"
+                    ),
+                    "",
+                )
+            ).alias("_fp"),
+        )
+        .select(
+            id_col,
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.when(F.col("n_kept") > 0, F.col("_fp")).alias("kept_fingerprint"),
+        )
+    )

@@ -827,3 +827,90 @@ def test_pii_redact_mask_ordering(spark):
     assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 0
     assert got[2]["clean_text"] == "root@|IP| logged in"
     assert got[2]["n_emails"] == 0 and got[2]["n_ips"] == 1
+
+
+def test_substring_dedup_planted(spark):
+    """Fixed-window suffix criterion (k=3): a 3-token span shared by two
+    docs marks the window duplicated in BOTH; a doc shorter than k has no
+    windows and is absent; a within-doc repeat also counts; windows are
+    position-sensitive (overlapping windows of the shared span that
+    differ by context are NOT duplicated)."""
+    from geomesa_spark.functions.text import substring_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # windows: abc bcd cde
+            (2, "x a b c y"),          # windows: xab abc bcy -> shares abc
+            (3, "p q r p q r"),        # windows: pqr qrp rpq pqr -> pqr twice
+            (4, "t u"),                # < k tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r for r in substring_dedup_stats(docs, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (3, 1)
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 1)
+    # doc 3: 4 windows, 'p q r' occurs at pos 1 and 4 -> both duplicated
+    assert (got[3]["n_windows"], got[3]["n_dup_windows"]) == (4, 2)
+    assert got[3]["dup_permille"] == 500
+
+
+def test_substring_dedup_whitespace_normalization(spark):
+    """Windows are built from whitespace-split tokens, so runs of blanks
+    and tabs don't change the window content."""
+    from geomesa_spark.functions.text import substring_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a  b\tc d"), (2, "a b c z")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r for r in substring_dedup_stats(docs, k=3).collect()
+    }
+    assert got[1]["n_dup_windows"] == 1 and got[2]["n_dup_windows"] == 1
+
+
+def test_para_dedup_survivorship(spark):
+    """First occurrence in (doc_id, pos) order survives; every later
+    occurrence (same doc or other docs) is dropped; empty paragraphs are
+    ignored; a doc whose every paragraph occurred earlier keeps nothing
+    (NULL fingerprint); the fingerprint is order-sensitive."""
+    import hashlib
+
+    from geomesa_spark.functions.text import para_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nalpha"),   # keeps alpha(0), boiler(1); drops alpha(2)
+            (2, "boiler\nbeta"),            # drops boiler, keeps beta
+            (3, "boiler\nalpha"),           # keeps nothing
+            (4, "\n\n"),                    # absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in para_dedup(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 2)
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (2, 0)
+    assert got[3]["kept_fingerprint"] is None
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1]["kept_fingerprint"] == md5(md5("alpha") + md5("boiler"))
+    assert got[2]["kept_fingerprint"] == md5(md5("beta"))
+
+
+def test_para_dedup_order_sensitive_fingerprint(spark):
+    """Two docs keeping the same paragraph SET in different orders get
+    different fingerprints (position order is part of the contract)."""
+    from geomesa_spark.functions.text import para_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "one\ntwo"), (2, "two\none")], ["doc_id", "text"]
+    )
+    a = spark.createDataFrame([(1, "one\ntwo")], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, "two\none")], ["doc_id", "text"])
+    fp_a = para_dedup(a).collect()[0]["kept_fingerprint"]
+    fp_b = para_dedup(b).collect()[0]["kept_fingerprint"]
+    assert fp_a != fp_b
