@@ -1064,6 +1064,15 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped cosine near-dup
+    removal over the embeddings table — deterministic seed centroids,
+    integer-exact assignment and verify, keep-the-min-id survivorship."""
+    from .operators.dedup import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=8)
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact duplicated-substring fraction (Lee et al. 2021 suffix-array
     criterion at fixed window k=8): per-doc count of 8-token sliding
@@ -1379,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "temp_mixture": q_temp_mixture,
         "dsir_select": q_dsir_select,
+        "semdedup": q_semdedup,
         "substring_dedup": q_substring_dedup,
         "para_dedup": q_para_dedup,
         "pii_redact": q_pii_redact,
@@ -2403,6 +2413,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
                         AS BIGINT) AS rank
             FROM s ORDER BY score_micros DESC, doc_id LIMIT 150
+        """,
+        "semdedup": """
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                                    x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS qv
+              FROM embeddings),
+            seeds AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, qv AS cv
+              FROM q ORDER BY id LIMIT 8),
+            d AS (
+              SELECT q.id, s.c,
+                     list_sum(list_transform(range(1, len(qv) + 1),
+                              i -> CAST(qv[i] - cv[i] AS HUGEINT)
+                                   * (qv[i] - cv[i]))) AS d2
+              FROM q CROSS JOIN seeds s),
+            asg AS (
+              SELECT id, CAST(c AS INTEGER) AS cluster FROM (
+                SELECT id, c,
+                       ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, c) AS rn
+                FROM d)
+              WHERE rn = 1),
+            pairs AS (
+              SELECT b.id AS id_b, qa.qv AS va, qb.qv AS vb
+              FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+              JOIN q qa ON qa.id = a.id
+              JOIN q qb ON qb.id = b.id),
+            m AS (
+              SELECT id_b,
+                list_sum(list_transform(range(1, len(va) + 1),
+                         i -> CAST(va[i] AS HUGEINT) * vb[i])) AS num,
+                list_sum(list_transform(range(1, len(va) + 1),
+                         i -> CAST(va[i] AS HUGEINT) * va[i])) AS na2,
+                list_sum(list_transform(range(1, len(vb) + 1),
+                         i -> CAST(vb[i] AS HUGEINT) * vb[i])) AS nb2
+              FROM pairs),
+            removed AS (
+              SELECT DISTINCT id_b FROM m
+              WHERE num > 0 AND 400 * num * num >= 81 * na2 * nb2)
+            SELECT asg.id AS vec_id, asg.cluster,
+                   removed.id_b IS NULL AS keep
+            FROM asg LEFT JOIN removed ON asg.id = removed.id_b
         """,
         "substring_dedup": """
             WITH t AS (

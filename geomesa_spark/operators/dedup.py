@@ -988,3 +988,109 @@ def dedup_clusters(
         F.col("lbl").alias("cluster_rep"),
         (F.col("node") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    tau2_num: int = 81,
+    tau2_den: int = 400,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by removing
+    near-duplicate embeddings WITHIN clusters — cluster the corpus, then
+    inside each cluster drop every vector that has a sufficiently-cosine-
+    close neighbor, keeping one representative per duplicate
+    neighborhood.  The clustering bounds the pair search: candidates are
+    cluster-local (the paper's own O(n²/C) design point), never corpus-
+    wide all-pairs.
+
+    Deterministic, oracle-portable construction (the
+    ``embedding_near_dup_exact`` playbook):
+
+    - vectors quantize to integer micros (``ROUND(x*1e6)``);
+    - centroids are the ``n_clusters`` lowest-id vectors (deterministic
+      seed centroids = one Lloyd assignment step; production swaps in
+      ``operators.ann``'s spherical k-means — the centroid choice moves
+      cluster boundaries, not the dedup criterion);
+    - assignment = argmin integer squared Euclidean distance in micro
+      space (int64-exact: diffs ≤ 4e6, squared ×dim ≪ 2^63), ties to the
+      lowest centroid index;
+    - a vector is REMOVED iff some same-cluster vector with a SMALLER id
+      passes the exact cosine test cos ≥ τ, τ² = tau2_num/tau2_den,
+      evaluated as ``num > 0 ∧ tau2_den·num² ≥ tau2_num·‖a‖²·‖b‖²`` in
+      arbitrary-precision ints (keep-the-min-id is the deterministic
+      stand-in for the paper's keep-farthest-from-centroid rule).
+
+    100-TB shape: the C centroid rows are the ONLY driver collect
+    (bounded by n_clusters); assignment is one Arrow pass against the
+    broadcast centroid matrix; the pair stage is a cluster-keyed
+    self-join (equi-join, no cartesian) carrying quantized vectors only
+    for verified candidates; the removed-set anti-join keys on id.  For
+    clusters too large for the quadratic inner stage, compose with the
+    hyperplane-LSH bucketing of :func:`embedding_near_dup` inside each
+    cluster (same keys, one more join column).
+
+    Returns (id_col, cluster, keep).
+    """
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(ROUND(x * 1000000.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    seeds = q.orderBy("id").limit(n_clusters).collect()  # bounded: C rows
+    if not seeds:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).alias("cluster"),
+            F.lit(True).alias("keep"),
+        ).limit(0)
+    cent = np.asarray([r["qv"] for r in seeds], dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def assign_udf(qv: pd.Series) -> pd.Series:
+        vals = qv.to_numpy(object)
+        if len(vals) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.asarray([np.asarray(v, dtype=np.int64) for v in vals])
+        # ||q-c||^2 per centroid; argmin ties resolve to the lowest index
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    qa = q.withColumn("cluster", assign_udf("qv"))
+    a, b = qa.alias("a"), qa.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.qv").alias("qa"),
+        F.col("b.qv").alias("qb"),
+        F.col("b.id").alias("id_b"),
+    )
+
+    @F.pandas_udf("boolean")
+    def verify(qa_s: pd.Series, qb_s: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(qa_s.to_numpy(object), qb_s.to_numpy(object)):
+            num = sum(int(x) * int(y) for x, y in zip(va, vb))
+            na2 = sum(int(x) * int(x) for x in va)
+            nb2 = sum(int(y) * int(y) for y in vb)
+            out.append(num > 0 and tau2_den * num * num >= tau2_num * na2 * nb2)
+        return pd.Series(out, dtype=bool)
+
+    removed = (
+        cand.filter(verify.asNondeterministic()(F.col("qa"), F.col("qb")))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        qa.join(removed, qa["id"] == removed["id_b"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.col("id_b").isNull().alias("keep"),
+        )
+    )

@@ -914,3 +914,54 @@ def test_para_dedup_order_sensitive_fingerprint(spark):
     fp_a = para_dedup(a).collect()[0]["kept_fingerprint"]
     fp_b = para_dedup(b).collect()[0]["kept_fingerprint"]
     assert fp_a != fp_b
+
+
+class TestSemDeDup:
+    def test_planted_clusters_and_survivorship(self, spark):
+        """Two well-separated groups; inside group A a scaled copy
+        (cosine 1) of the seed must be removed while the seed (lower id)
+        survives; an in-cluster but angularly-distant vector survives;
+        group B's lone member survives.  Seeds are ids 0 and 1, so
+        cluster 0 is A's region and cluster 1 is B's."""
+        from geomesa_spark.operators.dedup import semdedup
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),    # seed centroid 0
+            (1, [0.0, 0.0, 1.0, 0.0]),    # seed centroid 1
+            (2, [0.9, 0.0, 0.0, 0.0]),    # scaled copy of 0 -> removed
+            (3, [0.0, 1.0, 0.0, 0.0]),    # assigned A-side, orthogonal -> kept
+            (4, [0.0, 0.0, 0.8, 0.0]),    # scaled copy of 1 -> removed
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {r["vec_id"]: r for r in semdedup(df, n_clusters=2).collect()}
+        assert len(got) == 5
+        assert got[0]["keep"] and got[1]["keep"] and got[3]["keep"]
+        assert not got[2]["keep"] and not got[4]["keep"]
+        assert got[2]["cluster"] == got[0]["cluster"]
+        assert got[4]["cluster"] == got[1]["cluster"]
+
+    def test_assignment_tie_breaks_low_index(self, spark):
+        """A vector equidistant from both seed centroids lands in the
+        lower-indexed cluster (deterministic tie rule)."""
+        from geomesa_spark.operators.dedup import semdedup
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.5, 0.5]),   # tie -> cluster 0
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {r["vec_id"]: r["cluster"] for r in semdedup(df, n_clusters=2).collect()}
+        assert got[2] == got[0]
+
+    def test_empty_input(self, spark):
+        from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+        from geomesa_spark.operators.dedup import semdedup
+
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ])
+        df = spark.createDataFrame([], schema)
+        assert semdedup(df).count() == 0
