@@ -1098,6 +1098,42 @@ def q_para_dedup(spark, sf_dir):
     return para_dedup(lined)
 
 
+def q_domain_cap(spark, sf_dir):
+    """URL canonicalization + per-domain document cap (RefinedWeb
+    provenance balancing).  The synthetic corpus has no URL column, so
+    the query first derives a deterministic URL per doc (the same
+    expression the oracle runs): doc_id residues inject uppercase
+    scheme/host, www., default ports, utm_* tracking params in every
+    separator position, fragments, and trailing slashes across 12
+    registered domains — every canonicalization rule fires on real rows,
+    and the md5-rank cap keeps at most 3 docs per domain."""
+    from .functions.text import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(URL_TEXT_SQL).alias("url")
+    )
+    return domain_cap(docs, n_max=3)
+
+
+# One expression, two engines (concat/CASE/CAST(STRING) shared dialect);
+# the CANONICALIZATION is deliberately NOT shared — Spark runs
+# functions/text.url_canonicalize, the oracle an independent RE2
+# decomposition — so the query verifies semantics, not implementation.
+URL_TEXT_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 4 < 2 THEN 'news.' ELSE 'cdn.' END, "
+    "'ex', CAST(doc_id % 6 AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.Net' END, "
+    "CASE WHEN doc_id % 7 = 1 THEN ':443' ELSE '' END, "
+    "'/Page/', CAST(doc_id % 50 AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&utm_campaign=x' "
+    "WHEN doc_id % 5 = 3 THEN '?id=7&utm_medium=mail' ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 6 THEN '#Frag' ELSE '' END)"
+)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII counting + masking (Dolma regex tier): e-mail / IPv4 / phone
     spans counted and replaced with typed mask tokens, one codegen
@@ -1391,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "substring_dedup": q_substring_dedup,
         "para_dedup": q_para_dedup,
+        "domain_cap": q_domain_cap,
         "pii_redact": q_pii_redact,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -2414,6 +2451,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM s ORDER BY score_micros DESC, doc_id LIMIT 150
         """,
+        "domain_cap": """
+            WITH u0 AS (SELECT doc_id, {url} AS url FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+            s2 AS (SELECT doc_id, u,
+                          regexp_extract(u, '^([a-zA-Z]+://[^/?]+)', 1) AS p
+                   FROM s1),
+            s3 AS (SELECT doc_id,
+                          lower(p) || substring(u, length(p) + 1) AS u FROM s2),
+            s4 AS (SELECT doc_id, regexp_replace(u,
+                     '^([a-z]+://[^/:?]+):(80|443)($|[/?])', '\\1\\3') AS u
+                   FROM s3),
+            s5 AS (SELECT doc_id,
+                          regexp_replace(u, '^([a-z]+://)www\\.', '\\1') AS u
+                   FROM s4),
+            s6 AS (SELECT doc_id,
+                          regexp_replace(u, 'utm_[^&]*&', '', 'g') AS u FROM s5),
+            s7 AS (SELECT doc_id,
+                          regexp_replace(u, '[?&]utm_[^&]*$', '') AS u FROM s6),
+            s8 AS (SELECT doc_id,
+                          regexp_replace(u, '/$', '') AS url_canon FROM s7),
+            d AS (SELECT doc_id, url_canon,
+                    regexp_extract(regexp_extract(url_canon,
+                      '^[a-z]+://([^/:?]+)', 1), '([^.]+\\.[^.]+)$', 1) AS domain
+                  FROM s8),
+            r AS (SELECT doc_id, url_canon, domain,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT)
+                      AS rank
+                  FROM d)
+            SELECT doc_id, url_canon, domain, rank, rank <= 3 AS kept FROM r
+        """.format(url=URL_TEXT_SQL),
         "semdedup": """
             WITH q AS (
               SELECT vec_id AS id,

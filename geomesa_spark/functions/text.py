@@ -776,3 +776,91 @@ def para_dedup(
             F.when(F.col("n_kept") > 0, F.col("_fp")).alias("kept_fingerprint"),
         )
     )
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the normalization pass every web-corpus
+    pipeline runs before URL-level dedup and per-domain caps (RefinedWeb
+    §3.1 / CCNet): strip the fragment, lowercase the scheme://host[:port]
+    part (paths stay case-sensitive), drop default ports 80/443, drop a
+    leading ``www.``, remove ``utm_*`` tracking parameters (normalizing
+    the separators they leave behind), and strip one trailing slash.
+    Appends ``url_canon`` and ``domain`` (the last two host labels — the
+    registered domain without a public-suffix list, a documented
+    narrowing: ``example.co.uk`` maps to ``co.uk``).
+
+    One whole-stage-codegen projection (chained regexp_replace, no
+    Python); the DuckDB oracle is an INDEPENDENT twin (different regex
+    decomposition, RE2 dialect with 'g' flags) so the query verifies the
+    semantics, not the implementation.
+    """
+    steps = [
+        # 1. fragment
+        ("_u", f"regexp_replace({url_col}, '#.*$', '')"),
+        # 2. lowercase scheme://host[:port]
+        ("_p", "regexp_extract(_u, '^([a-zA-Z]+://[^/?]+)', 1)"),
+        (
+            "_u",
+            "concat(lower(_p), substring(_u, length(_p) + 1, length(_u)))",
+        ),
+        # 3. default ports (lookahead keeps the path/query intact)
+        ("_u", "regexp_replace(_u, '^([a-z]+://[^/:?]+):(?:80|443)(?=[/?]|$)', '$1')"),
+        # 4. www.
+        ("_u", "regexp_replace(_u, '^([a-z]+://)www\\\\.', '$1')"),
+        # 5. utm_* params: mid-query occurrences take their TRAILING &,
+        #    a final occurrence takes its LEADING separator
+        ("_u", "regexp_replace(_u, 'utm_[^&]*&', '')"),
+        ("_u", "regexp_replace(_u, '[?&]utm_[^&]*$', '')"),
+        # 6. trailing slash
+        ("_u", "regexp_replace(_u, '/$', '')"),
+    ]
+    out = df
+    for name, expr in steps:
+        out = out.withColumn(name, F.expr(expr))
+    return (
+        out.withColumn("url_canon", F.col("_u"))
+        .withColumn(
+            "domain",
+            F.expr(
+                "regexp_extract(regexp_extract(url_canon, "
+                "'^[a-z]+://([^/:?]+)', 1), '([^.]+\\\\.[^.]+)$', 1)"
+            ),
+        )
+        .drop("_u", "_p")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    n_max: int = 3,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb / Gopher provenance balancing):
+    canonicalize URLs, derive the registered domain, and keep at most
+    ``n_max`` documents per domain, chosen by a deterministic md5 rank
+    (portable to any SQL engine) with id tie-break — a uniform random
+    sample per domain that every engine reproduces bit-for-bit.
+
+    100-TB shape: one codegen canonicalization pass, then ONE shuffle on
+    the domain key for the rank window; rows carry (id, url, domain) —
+    no text.  A skewed mega-domain makes one hot partition: cap it by
+    pre-aggregating per-domain counts and sampling hashes below a
+    threshold instead (the md5 rank is order-free, so a threshold
+    filter — keep iff md5 < k/n quantile — is the shuffle-free variant;
+    documented, not needed at driver-contract scale).
+
+    Returns (id_col, url_canon, domain, rank, kept).
+    """
+    from pyspark.sql import Window
+
+    canon = url_canonicalize(df, url_col)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return canon.select(
+        id_col,
+        "url_canon",
+        "domain",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).withColumn("kept", F.col("rank") <= n_max)

@@ -965,3 +965,58 @@ class TestSemDeDup:
         ])
         df = spark.createDataFrame([], schema)
         assert semdedup(df).count() == 0
+
+
+class TestUrlCanon:
+    def _canon(self, spark, url):
+        from geomesa_spark.functions.text import url_canonicalize
+
+        df = spark.createDataFrame([(1, url)], ["doc_id", "url"])
+        r = url_canonicalize(df).collect()[0]
+        return r["url_canon"], r["domain"]
+
+    def test_rules(self, spark):
+        cases = {
+            # fragment, host-lowering (path case PRESERVED), default port
+            "HTTPS://API.Example.COM:443/A/B#frag": "https://api.example.com/A/B",
+            # www + port 80 + trailing slash
+            "http://www.Example.com:80/": "http://example.com",
+            # utm in first position takes the following param's separator
+            "https://a.net/p?utm_source=x&id=7": "https://a.net/p?id=7",
+            # utm last takes its leading separator
+            "https://a.net/p?id=7&utm_medium=m": "https://a.net/p?id=7",
+            # all params utm -> bare path
+            "https://a.net/p?utm_a=1&utm_b=2": "https://a.net/p",
+            # non-default port survives
+            "https://a.net:8443/p": "https://a.net:8443/p",
+        }
+        for raw, want in cases.items():
+            got, _ = self._canon(spark, raw)
+            assert got == want, f"{raw!r}: {got!r} != {want!r}"
+
+    def test_domain_is_last_two_labels(self, spark):
+        _, d = self._canon(spark, "https://cdn.news.Example.COM/x")
+        assert d == "example.com"
+        _, d = self._canon(spark, "https://ex3.Net/x")
+        assert d == "ex3.net"
+
+    def test_domain_cap_md5_rank(self, spark):
+        """Exactly n_max kept per domain, rank dense from 1, membership
+        decided by md5(doc_id) rank (engine-portable)."""
+        import hashlib
+
+        from geomesa_spark.functions.text import domain_cap
+
+        rows = [(i, f"https://d{i % 2}.com/p/{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        got = domain_cap(df, n_max=2).collect()
+        by_dom = {}
+        for r in got:
+            by_dom.setdefault(r["domain"], []).append(r)
+        assert set(by_dom) == {"d0.com", "d1.com"}
+        for dom, rs in by_dom.items():
+            assert sorted(r["rank"] for r in rs) == list(range(1, 6))
+            kept = {r["doc_id"] for r in rs if r["kept"]}
+            ids = [r["doc_id"] for r in rs]
+            want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:2]
+            assert kept == set(want)
