@@ -2463,7 +2463,7 @@ def oracle_sql() -> dict[str, str]:
                      '^([a-z]+://[^/:?]+):(80|443)($|[/?])', '\\1\\3') AS u
                    FROM s3),
             s5 AS (SELECT doc_id,
-                          regexp_replace(u, '^([a-z]+://)www\\.', '\\1') AS u
+                          regexp_replace(u, '^([a-z]+://)(www\\.)+', '\\1') AS u
                    FROM s4),
             s6 AS (SELECT doc_id,
                           regexp_replace(u, 'utm_[^&]*&', '', 'g') AS u FROM s5),

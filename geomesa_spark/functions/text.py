@@ -805,8 +805,9 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
         # 3. default ports (lookahead keeps the path/query intact)
         ("_u", "regexp_replace(_u, '^([a-z]+://[^/:?]+):(?:80|443)(?=[/?]|$)', '$1')"),
-        # 4. www.
-        ("_u", "regexp_replace(_u, '^([a-z]+://)www\\\\.', '$1')"),
+        # 4. leading www. labels (ALL of them — one-at-a-time would make
+        #    the canonicalization non-idempotent on www.www.host)
+        ("_u", "regexp_replace(_u, '^([a-z]+://)(www\\\\.)+', '$1')"),
         # 5. utm_* params: mid-query occurrences take their TRAILING &,
         #    a final occurrence takes its LEADING separator
         ("_u", "regexp_replace(_u, 'utm_[^&]*&', '')"),

@@ -1020,3 +1020,61 @@ class TestUrlCanon:
             ids = [r["doc_id"] for r in rs]
             want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:2]
             assert kept == set(want)
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """Plan guards for the round-5 pipeline additions: no cartesian /
+    nested-loop node anywhere (substring windows and paragraphs shuffle
+    as (id, md5) pairs; semdedup's pair stage is a cluster-keyed
+    equi-join; domain_cap is one window shuffle)."""
+    from geomesa_spark.functions.text import (
+        domain_cap,
+        para_dedup,
+        substring_dedup_stats,
+    )
+    from geomesa_spark.operators.dedup import semdedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h", f"https://d{i % 2}.com/{i}") for i in range(20)],
+        ["doc_id", "text", "url"],
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 5)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    plans = {
+        "substring": substring_dedup_stats(docs, k=3),
+        "para": para_dedup(docs),
+        "semdedup": semdedup(vecs, n_clusters=2),
+        "domain_cap": domain_cap(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) over an adversarial URL batch — a
+    canonicalizer that isn't idempotent splits equal URLs across dedup
+    keys depending on how many normalization passes a pipeline ran."""
+    from geomesa_spark.functions.text import url_canonicalize
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/A/B#frag",
+        "http://www.example.com:80/",
+        "https://a.net/p?utm_source=x&id=7",
+        "https://a.net/p?id=7&utm_medium=m",
+        "https://a.net/p?utm_a=1&utm_b=2",
+        "https://a.net:8443/p/",
+        "https://WWW.WWW.example.com/www.",
+        "http://x.y.z.example.co.uk/p?a=utm_trap&utm_b=1#x#y",
+        "ftp://Mixed.Case.Host/Path/",
+        "https://a.com/?utm_only=1",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["doc_id", "url"])
+    once = url_canonicalize(df).select("doc_id", F.col("url_canon").alias("url"))
+    twice = url_canonicalize(once).select("doc_id", "url_canon")
+    joined = once.alias("a").join(twice.alias("b"), "doc_id").collect()
+    for r in joined:
+        assert r["url"] == r["url_canon"], r
