@@ -844,6 +844,49 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
 
 
+# 32 words, all stopwords, mean word length exactly 3 (boundary-legal for
+# the Gopher mean-word-length rule) — every 17th doc collapses to this
+# text so the dedup stage of corpus_mix actually removes rows.
+_MIX_DUP_TEXT = " ".join(["the be to of and that have with"] * 4)
+MIX_TEXT_SQL = (
+    f"CASE WHEN doc_id % 17 = 3 THEN '{_MIX_DUP_TEXT}' ELSE text END"
+)
+
+
+def q_corpus_mix(spark, sf_dir):
+    """END-TO-END training-mix assembly — the composition the individual
+    operators exist for: Gopher quality gate → exact-dedup survivorship
+    (first doc_id per text md5 among kept docs) → fixed-budget sequence
+    packing.  Run over a derived corpus (same expression as the oracle)
+    where every 17th doc collapses to one quality-passing text, so the
+    dedup stage removes real rows and pack offsets shift accordingly.
+
+    100-TB shape: the quality and hash stages emit narrow (id, flags) /
+    (id, md5) rows; survivor selection is a map-side-combinable min per
+    hash; text is re-attached ONCE by the final id equi-join (bucket the
+    corpus by id to make that join storage-partitioned) and packing adds
+    its single (source)-window shuffle over narrow rows."""
+    from .functions.text import gopher_quality
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(MIX_TEXT_SQL).alias("text"), "source"
+    )
+    kept = (
+        gopher_quality(docs, min_words=30, min_stopwords=1)
+        .filter("keep")
+        .select("doc_id")
+    )
+    kept_hashes = docs.select("doc_id", F.md5("text").alias("_h")).join(
+        kept, "doc_id"
+    )
+    survivor_ids = kept_hashes.groupBy("_h").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = docs.join(survivor_ids, "doc_id")
+    return pack_sequences(survivors, budget=512)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exactly-20-per-(lang, source) uniform sample, deterministic via
     md5(doc_id) rank — the balanced-mixture primitive."""
@@ -1431,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
+        "corpus_mix": q_corpus_mix,
         "stratified_sample": q_stratified_sample,
         "track_hausdorff": q_track_hausdorff,
         "hotspot_clusters": q_hotspot_clusters,
@@ -2621,6 +2665,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start_offset % 512 AS BIGINT) AS offset_in_pack
             FROM o
         """,
+        "corpus_mix": """
+            WITH base AS (
+              SELECT doc_id, {mix} AS text, source FROM documents),
+            t AS (
+              SELECT doc_id, source, text,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS toks
+              FROM base),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(toks, x -> length(x))),
+                          0) AS BIGINT) AS twc,
+                     CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(list_distinct(toks),
+                          x -> x IN ('the','be','to','of','and','that','have',
+                                     'with'))) AS BIGINT) AS n_stop
+              FROM t),
+            keep AS (
+              SELECT doc_id FROM m
+              WHERE n_words BETWEEN 30 AND 100000
+                AND n_words > 0 AND 3*n_words <= twc AND twc <= 10*n_words
+                AND 5*n_alpha >= 4*n_words
+                AND n_stop >= 1),
+            firsts AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM (SELECT t.doc_id, md5(t.text) AS h
+                    FROM t JOIN keep USING (doc_id))
+              GROUP BY h),
+            s AS (
+              SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+              FROM t JOIN firsts USING (doc_id)),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM s)
+            SELECT doc_id, source, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS pack_id,
+                   CAST(start_offset % 512 AS BIGINT) AS offset_in_pack
+            FROM o
+        """.format(mix=MIX_TEXT_SQL),
         "stratified_sample": """
             SELECT lang, source, doc_id, rank FROM (
               SELECT lang, source, doc_id,

@@ -250,3 +250,27 @@ class TestDsirSelect:
         )
         got = dsir_select(df, k=5, target_expr="source = 't'").toPandas()
         assert got["doc_id"].tolist() == [2]
+
+
+def test_corpus_mix_dedup_shifts_offsets(spark, monkeypatch):
+    """The corpus_mix composition removes later copies of a duplicated
+    quality-passing text and pack offsets close over the gap."""
+    import geomesa_spark.entry_queries as eq
+
+    dup = " ".join(["the be to of and that have with"] * 4)   # 32 tokens
+    uniq = ("the be to of and that have with list " * 4).strip()  # 36 tokens
+    rows = [
+        (3, dup, "s0"),     # doc_id%17==3 residue irrelevant here
+        (20, dup, "s0"),    # duplicate -> removed
+        (40, uniq, "s0"),
+        (5, "tiny", "s1"),  # fails gopher min_words -> removed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    monkeypatch.setattr(eq, "_t", lambda spark, sf_dir, name: df)
+    monkeypatch.setattr(eq, "MIX_TEXT_SQL", "text")  # corpus already planted
+    got = {r["doc_id"]: r for r in eq.q_corpus_mix(spark, "ignored").collect()}
+    assert set(got) == {3, 40}
+    assert got[3]["start_offset"] == 0 and got[3]["n_tokens"] == 32
+    # doc 40 starts right after doc 3 -- the removed duplicate left no gap
+    assert got[40]["start_offset"] == 32
