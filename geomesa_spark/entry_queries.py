@@ -936,6 +936,50 @@ def q_dwell_segments(spark, sf_dir):
     return tube.dwell_segments(_event_points(spark, sf_dir), res=5, min_duration_s=600)
 
 
+def q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hot/cold-spot z-scores per populated res-6 grid
+    cell.  Exactness: w_i/k_i/n/Σx/Σx² are all exact BIGINTs and the
+    z-score is autocorr.GI_STAR_SQL — the SAME string Spark F.expr's
+    and the DuckDB twin embeds — so the quantized micros agree
+    bit-for-bit."""
+    from .operators import autocorr
+
+    return autocorr.getis_ord_gi(_event_points(spark, sf_dir), res=6)
+
+
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I of the res-6 cell-count surface (binary
+    8-neighbor weights): one row of exact integer aggregates plus the
+    shared closed-form index expression (autocorr.MORAN_I_SQL)."""
+    from .operators import autocorr
+
+    return autocorr.morans_i(_event_points(spark, sf_dir), res=6)
+
+
+def q_local_moran(spark, sf_dir):
+    """Anselin LISA per populated res-6 cell: local Moran's I, the
+    analytic randomization z, and the Moran-scatterplot quadrant.  All
+    sufficient statistics (x, k_i, lag, n, s1..s4) are exact BIGINTs and
+    the I/z/quad expressions are the shared autocorr.LISA_*_SQL strings,
+    so the quantized outputs are bit-equal across engines."""
+    from .operators import autocorr
+
+    return autocorr.local_morans_i(_event_points(spark, sf_dir), res=6)
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Mann-Kendall emerging-hotspot trends per hot res-5 cell over the
+    dense day-binned space-time cube; S / ties / T are exact integers,
+    z is the shared autocorr.MK_Z_SQL expression."""
+    from .operators import autocorr
+
+    return autocorr.emerging_hotspots(
+        _event_points(spark, sf_dir).select("lon", "lat", "ts"),
+        res=5,
+        min_total=10,
+    )
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -1478,6 +1522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "track_hausdorff": q_track_hausdorff,
         "hotspot_clusters": q_hotspot_clusters,
+        "gi_star": q_gi_star,
+        "morans_i": q_morans_i,
+        "local_moran": q_local_moran,
+        "emerging_hotspots": q_emerging_hotspots,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
         "resample_tracks": q_resample_tracks,
@@ -1815,7 +1863,28 @@ def _flagship_rect_sql() -> str:
     """
 
 
+def _cell_sql(res: int) -> str:
+    """DuckDB twin of autocorr._cell_key / tiling's packed grid key at
+    ``res`` — textually the same clamp-floor arithmetic the hotspot /
+    od-matrix oracles inline."""
+    n = 1 << res
+    return (
+        f"((least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) << {res})"
+        f" | least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+    from .operators.autocorr import (
+        GI_STAR_SQL as _GI_STAR_SQL,
+        LISA_I_SQL as _LISA_I_SQL,
+        LISA_QUAD_SQL as _LISA_QUAD_SQL,
+        LISA_Z_SQL as _LISA_Z_SQL,
+        MK_TREND_SQL as _MK_TREND_SQL,
+        MK_Z_SQL as _MK_Z_SQL,
+        MORAN_I_SQL as _MORAN_I_SQL,
+    )
+
     hav_c = _HAVERSINE.format(lon1="lon", lat1="lat", lon2="clon", lat2="clat")
     centers_vals = ", ".join(f"('{c}', {lo}, {la})" for c, lo, la in DWITHIN_CENTERS)
     knn_vals = ", ".join(f"('{q}', {lo}, {la})" for q, lo, la in KNN_CENTERS)
@@ -2860,5 +2929,122 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_pts
             FROM g GROUP BY user_id, cell_key, grp
             HAVING MAX(t) - MIN(t) >= 600000000
+        """,
+        "gi_star": f"""
+            WITH {_pts_cte()},
+            k AS (SELECT {_cell_sql(6)} AS cell_key FROM pts),
+            cells AS (SELECT cell_key, COUNT(*) AS x FROM k GROUP BY cell_key),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ring AS (
+              SELECT c.x AS _nx,
+                     ((((c.cell_key >> 6) + o.dx) << 6)
+                      | ((c.cell_key & 63) + o.dy)) AS nbr_key
+              FROM cells c, offs o
+              WHERE (c.cell_key >> 6) + o.dx BETWEEN 0 AND 63
+                AND (c.cell_key & 63) + o.dy BETWEEN 0 AND 63),
+            hood AS (
+              SELECT r.nbr_key AS cell_key, CAST(SUM(r._nx) AS BIGINT) AS w_i,
+                     COUNT(*) AS k_i
+              FROM ring r JOIN cells c2 ON c2.cell_key = r.nbr_key
+              GROUP BY r.nbr_key),
+            g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                         CAST(SUM(x * x) AS BIGINT) AS s2 FROM cells)
+            SELECT c.cell_key, c.x, h.k_i, h.w_i,
+                   {_GI_STAR_SQL} AS gi_z_x1e6
+            FROM cells c JOIN hood h USING (cell_key), g
+        """,
+        "morans_i": f"""
+            WITH {_pts_cte()},
+            k AS (SELECT {_cell_sql(6)} AS cell_key FROM pts),
+            cells AS (SELECT cell_key, COUNT(*) AS x FROM k GROUP BY cell_key),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            e AS (
+              SELECT c.x AS xi,
+                     ((((c.cell_key >> 6) + o.dx) << 6)
+                      | ((c.cell_key & 63) + o.dy)) AS nbr_key
+              FROM cells c, offs o
+              WHERE (c.cell_key >> 6) + o.dx BETWEEN 0 AND 63
+                AND (c.cell_key & 63) + o.dy BETWEEN 0 AND 63),
+            edges AS (SELECT e.xi, c2.x AS xj
+                      FROM e JOIN cells c2 ON c2.cell_key = e.nbr_key),
+            ea AS (SELECT COUNT(*) AS w, CAST(SUM(xi * xj) AS BIGINT) AS p,
+                          CAST(SUM(xi + xj) AS BIGINT) AS q FROM edges),
+            g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                         CAST(SUM(x * x) AS BIGINT) AS s2 FROM cells)
+            SELECT g.n AS n_cells, ea.w AS w_edges,
+                   {_MORAN_I_SQL} AS moran_i_x1e9,
+                   CAST(ROUND((-1.0 / (n - 1)) * 1000000000) AS BIGINT) AS e_i_x1e9
+            FROM g, ea
+        """,
+        "local_moran": f"""
+            WITH {_pts_cte()},
+            k AS (SELECT {_cell_sql(6)} AS cell_key FROM pts),
+            cells AS (SELECT cell_key, COUNT(*) AS x FROM k GROUP BY cell_key),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ring AS (
+              SELECT c.x AS _nx,
+                     ((((c.cell_key >> 6) + o.dx) << 6)
+                      | ((c.cell_key & 63) + o.dy)) AS nbr_key
+              FROM cells c, offs o
+              WHERE (c.cell_key >> 6) + o.dx BETWEEN 0 AND 63
+                AND (c.cell_key & 63) + o.dy BETWEEN 0 AND 63),
+            hood AS (
+              SELECT r.nbr_key AS cell_key, CAST(SUM(r._nx) AS BIGINT) AS lag,
+                     COUNT(*) AS k_i
+              FROM ring r JOIN cells c2 ON c2.cell_key = r.nbr_key
+              GROUP BY r.nbr_key),
+            j AS (
+              SELECT c.cell_key, c.x,
+                     COALESCE(h.k_i, 0) AS k_i, COALESCE(h.lag, 0) AS lag
+              FROM cells c LEFT JOIN hood h USING (cell_key)),
+            g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                         CAST(SUM(x * x) AS BIGINT) AS s2,
+                         CAST(SUM(x * x * x) AS BIGINT) AS s3,
+                         CAST(SUM(x * x * x * x) AS BIGINT) AS s4 FROM cells)
+            SELECT j.cell_key, j.x, j.k_i, j.lag,
+                   {_LISA_I_SQL} AS lisa_i_x1e9,
+                   {_LISA_Z_SQL} AS lisa_z_x1e6,
+                   {_LISA_QUAD_SQL} AS quad
+            FROM j, g
+        """,
+        "emerging_hotspots": f"""
+            WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+                         FROM events),
+            k AS (SELECT {_cell_sql(5)} AS cell_key,
+                         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                           AS day_bin
+                  FROM pts),
+            cd AS (SELECT cell_key, day_bin, COUNT(*) AS x
+                   FROM k GROUP BY cell_key, day_bin),
+            hot AS (SELECT cell_key, CAST(SUM(x) AS BIGINT) AS total FROM cd
+                    GROUP BY cell_key HAVING SUM(x) >= 10),
+            bins AS (SELECT DISTINCT day_bin FROM cd),
+            cube AS (
+              SELECT h.cell_key, h.total, b.day_bin, COALESCE(cd.x, 0) AS x
+              FROM hot h CROSS JOIN bins b
+              LEFT JOIN cd ON cd.cell_key = h.cell_key
+                          AND cd.day_bin = b.day_bin),
+            mk AS (
+              SELECT a.cell_key, a.total,
+                     CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                   WHEN b.x < a.x THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM cube a JOIN cube b ON a.cell_key = b.cell_key
+                                     AND b.day_bin > a.day_bin
+              GROUP BY a.cell_key, a.total),
+            tg AS (SELECT cell_key, x, COUNT(*) AS tg
+                   FROM cube GROUP BY cell_key, x),
+            ties_t AS (SELECT cell_key,
+                              CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                                AS ties,
+                              CAST(SUM(tg) AS BIGINT) AS t_bins
+                       FROM tg GROUP BY cell_key)
+            SELECT mk.cell_key, mk.total, t_bins, mk.s_stat,
+                   CAST(ROUND(({_MK_Z_SQL}) * 1000000) AS BIGINT) AS mk_z_x1e6,
+                   {_MK_TREND_SQL} AS trend
+            FROM mk JOIN ties_t USING (cell_key)
         """,
     }

@@ -1,0 +1,405 @@
+"""Spatial autocorrelation statistics over the engine's clamped
+power-of-two lon/lat grid: Getis-Ord Gi* hot/cold-spot z-scores, global
+Moran's I, and Mann-Kendall emerging-hotspot trends over the space-time
+cube.
+
+GeoMesa's analytic surface stops at density/heatmap aggregation
+(DensityScan / StatsScan, public tree:
+geomesa-index-api/.../iterators/DensityScan.scala); these operators are
+the standard next step a GeoMesa user runs downstream (Getis & Ord 1992;
+Anselin 1995; the ArcGIS "emerging hot spot analysis" space-time-cube
+recipe built on Mann-Kendall 1945).  They are implemented here because
+they reduce to exactly the engine's existing scale shape: ONE
+map-side-combinable groupBy over corpus-scale points, after which every
+join and window runs on a cell table bounded by ``4^res`` rows — no
+all-pairs stage ever touches point-scale data.
+
+Float discipline (the cross-engine exactness rule used repo-wide): all
+sufficient statistics are exact BIGINT sums (counts, count products,
+sign tallies), and each z-score / index is ONE closed-form double
+expression over those integers, evaluated from a module-constant SQL
+string that `entry_queries` embeds VERBATIM into the DuckDB oracle — so
+both engines run the identical IEEE-754 op sequence and the quantized
+outputs are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..cache import swap_cache
+from .tiling import _tile_xy_expr
+
+__all__ = ["getis_ord_gi", "morans_i", "local_morans_i", "emerging_hotspots"]
+
+
+def _cell_key(lon: str, lat: str, res: int) -> F.Column:
+    """Packed (x << res) | y grid key — same convention as
+    tiling.hotspot_clusters, pure whole-stage-codegen arithmetic."""
+    return F.shiftleft(_tile_xy_expr(lon, res, 360.0, 180.0), res).bitwiseOR(
+        _tile_xy_expr(lat, res, 180.0, 90.0)
+    )
+
+
+def _neighbor_keys(res: int, include_self: bool) -> str:
+    """SQL array expr: the packed keys of the (8 or 9)-cell neighborhood
+    of (_x, _y), border-clamped (no wrap — the clamped grid does not
+    wrap either)."""
+    n_side = 1 << res
+    terms = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0 and not include_self:
+                continue
+            terms.append(
+                f"IF(_x + {dx} BETWEEN 0 AND {n_side - 1} "
+                f"AND _y + {dy} BETWEEN 0 AND {n_side - 1}, "
+                f"shiftleft(_x + {dx}, {res}) | (_y + {dy}), NULL)"
+            )
+    return "filter(array(" + ", ".join(terms) + "), x -> x IS NOT NULL)"
+
+
+def _cell_counts(pts: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
+    """(cell_key, x) per POPULATED cell — the single corpus-scale
+    shuffle every statistic below shares (partial-agg combinable)."""
+    return (
+        pts.select(_cell_key(lon, lat, res).alias("cell_key"))
+        .groupBy("cell_key")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def _with_xy(cells: DataFrame, res: int) -> DataFrame:
+    n_side = 1 << res
+    return cells.withColumn(
+        "_x", F.expr(f"shiftrightunsigned(cell_key, {res})")
+    ).withColumn("_y", F.expr(f"cell_key & {n_side - 1}"))
+
+
+#: Gi* z-score over (w_i = Σ_{j∈N(i)∪i} x_j, k_i = |N(i)∪i|, n, s1=Σx,
+#: s2=Σx²) — Getis & Ord 1992 eq. (the "star" variant: self included,
+#: binary weights over POPULATED neighbor cells).  Embedded verbatim in
+#: the DuckDB oracle; every identifier is a BIGINT column.
+GI_STAR_SQL = (
+    "CAST(ROUND(((w_i - (CAST(s1 AS DOUBLE) / n) * k_i)"
+    " / (sqrt(CAST(s2 AS DOUBLE) / n"
+    "          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+    "    * sqrt(CAST(n * k_i - k_i * k_i AS DOUBLE) / (n - 1))))"
+    " * 1000000) AS BIGINT)"
+)
+
+#: Global Moran's I from exact-integer edge/cell aggregates:
+#: n, s1=Σx, s2=Σx², w=|directed edges|, p=Σ_edges x_i·x_j,
+#: q=Σ_edges (x_i+x_j).  Expanding Σ(x_i−x̄)(x_j−x̄) = p − x̄·q + w·x̄²
+#: and Σ(x_i−x̄)² = s2 − n·x̄² keeps every input exact.
+MORAN_I_SQL = (
+    "CAST(ROUND(((CAST(n AS DOUBLE) / w)"
+    " * ((p - (CAST(s1 AS DOUBLE) / n) * q"
+    "      + w * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))"
+    "    / (s2 - n * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))))"
+    " * 1000000000) AS BIGINT)"
+)
+
+#: Mann-Kendall z with tie correction from exact integers: s_stat (sign
+#: tally), t_bins (series length), ties = Σ_g t_g(t_g−1)(2t_g+5).
+#: Var(S) = (T(T−1)(2T+5) − ties)/18; continuity-corrected z.
+MK_Z_SQL = (
+    "CASE WHEN s_stat > 0 THEN (s_stat - 1)"
+    " / sqrt(CAST(t_bins * (t_bins - 1) * (2 * t_bins + 5) - ties AS DOUBLE) / 18.0)"
+    " WHEN s_stat < 0 THEN (s_stat + 1)"
+    " / sqrt(CAST(t_bins * (t_bins - 1) * (2 * t_bins + 5) - ties AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END"
+)
+
+MK_TREND_SQL = (
+    "CASE WHEN ({z}) > 1.959963984540054 THEN 'intensifying' "
+    "WHEN ({z}) < -1.959963984540054 THEN 'diminishing' "
+    "ELSE 'stable' END"
+).format(z=MK_Z_SQL)
+
+# --- Local Moran's I (Anselin 1995 LISA), binary unstandardized weights.
+# Inputs are all exact BIGINT columns: per cell x (count), k_i (# of
+# POPULATED 8-neighbors), lag (Σ neighbor counts); global n (# cells) and
+# power sums s1..s4 = Σx..Σx⁴ (exact while per-cell counts stay ≤ 55,108
+# — x⁴ < 2^63; raise `res` before that at extreme densities).  Shorthand
+# below: mu = x̄, m2 = Σz²/n with z = x − x̄.
+_MU = "(CAST(s1 AS DOUBLE) / n)"
+_M2 = f"(CAST(s2 AS DOUBLE) / n - {_MU} * {_MU})"
+#: I_i = z_i · Σ_{{j∈N(i)}} z_j / m2  (quantized nano-units)
+LISA_I_RAW = f"((x - {_MU}) * (lag - k_i * {_MU}) / {_M2})"
+LISA_I_SQL = f"CAST(ROUND(({LISA_I_RAW}) * 1000000000) AS BIGINT)"
+#: kurtosis ratio b2 = (Σz⁴/n) / m2², with Σz⁴ expanded over s1..s4 so
+#: every input stays an exact integer.
+_B2 = (
+    f"(((s4 - 4.0 * {_MU} * s3 + 6.0 * {_MU} * {_MU} * s2"
+    f" - 4.0 * {_MU} * {_MU} * {_MU} * s1 + n * {_MU} * {_MU} * {_MU} * {_MU})"
+    f" / n) / ({_M2} * {_M2}))"
+)
+#: Anselin 1995 randomization moments for binary weights (w_i. = w_i(2)
+#: = k_i, Σ_{{k≠h}} w_ik w_ih = k_i(k_i−1)):
+#: E[I_i] = −k_i/(n−1);  Var[I_i] = k_i(n−b2)/(n−1)
+#:   + k_i(k_i−1)(2b2−n)/((n−1)(n−2)) − k_i²/(n−1)².
+LISA_Z_SQL = (
+    "CASE WHEN k_i = 0 THEN CAST(0 AS BIGINT) ELSE CAST(ROUND(("
+    f"(({LISA_I_RAW}) - (-(CAST(k_i AS DOUBLE) / (n - 1))))"
+    f" / sqrt(k_i * (n - {_B2}) / (n - 1)"
+    f"        + k_i * (k_i - 1) * (2.0 * {_B2} - n) / ((n - 1.0) * (n - 2))"
+    f"        - (CAST(k_i AS DOUBLE) * k_i) / ((n - 1.0) * (n - 1)))"
+    ") * 1000000) AS BIGINT) END"
+)
+#: Moran-scatterplot quadrant: High/Low own value × High/Low spatial lag.
+LISA_QUAD_SQL = (
+    f"CASE WHEN k_i = 0 THEN 'NS'"
+    f" WHEN (x - {_MU}) > 0 AND (lag - k_i * {_MU}) > 0 THEN 'HH'"
+    f" WHEN (x - {_MU}) < 0 AND (lag - k_i * {_MU}) < 0 THEN 'LL'"
+    f" WHEN (x - {_MU}) > 0 AND (lag - k_i * {_MU}) < 0 THEN 'HL'"
+    f" WHEN (x - {_MU}) < 0 AND (lag - k_i * {_MU}) > 0 THEN 'LH'"
+    f" ELSE 'NS' END"
+)
+
+
+def getis_ord_gi(
+    pts: DataFrame, res: int = 6, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot z-score per populated grid cell
+    (binary weights over the populated 8-neighborhood, self included —
+    the G_i* of Getis & Ord 1992 with the observed cells as the spatial
+    units).
+
+    Engine shape: points collapse to cell counts in one combinable
+    shuffle; the neighborhood sum is an explode(9 packed keys) +
+    equi-join on the ≤4^res-row cell table; the three global scalars
+    (n, Σx, Σx²) reduce once and broadcast back via crossJoin.  At
+    100 TB the only stage touching point-scale data is the first count.
+
+    Returns (cell_key, x, k_i, w_i, gi_z_x1e6).
+    """
+    cells = swap_cache(f"autocorr.cells.{res}", _cell_counts(pts, res, lon, lat))
+    ring = _with_xy(cells, res).select(
+        F.col("x").alias("_nx"),
+        F.explode(F.expr(_neighbor_keys(res, include_self=True))).alias("nbr_key"),
+    )
+    # neighborhood sums: for every populated cell i, the ring rows whose
+    # neighbor key IS i contribute that neighbor's count (self included)
+    hood = (
+        ring.join(cells.select(F.col("cell_key").alias("nbr_key")), "nbr_key")
+        .groupBy(F.col("nbr_key").alias("cell_key"))
+        .agg(
+            F.sum("_nx").alias("w_i"),
+            F.count(F.lit(1)).alias("k_i"),
+        )
+    )
+    globals_ = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+    )
+    return (
+        cells.join(hood, "cell_key")
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "cell_key",
+            "x",
+            "k_i",
+            "w_i",
+            F.expr(GI_STAR_SQL).alias("gi_z_x1e6"),
+        )
+    )
+
+
+def morans_i(
+    pts: DataFrame, res: int = 6, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Global Moran's I spatial-autocorrelation index of the cell-count
+    surface (binary 8-neighbor weights among populated cells, row sums
+    unnormalized — Moran 1950 / Anselin 1995 global form), plus the
+    exact integer aggregates it derives from.
+
+    One corpus-scale count shuffle; the edge list and every aggregate
+    live on the ≤4^res cell table.  Returns ONE row
+    (n_cells, w_edges, moran_i_x1e9, e_i_x1e9) where e_i = −1/(n−1) is
+    the null expectation.
+    """
+    cells = swap_cache(f"autocorr.cells.{res}", _cell_counts(pts, res, lon, lat))
+    edges = (
+        _with_xy(cells, res)
+        .select(
+            F.col("x").alias("xi"),
+            F.explode(F.expr(_neighbor_keys(res, include_self=False))).alias(
+                "nbr_key"
+            ),
+        )
+        .join(
+            cells.select(F.col("cell_key").alias("nbr_key"), F.col("x").alias("xj")),
+            "nbr_key",
+        )
+    )
+    eagg = edges.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.expr("xi * xj")).alias("p"),
+        F.sum(F.expr("xi + xj")).alias("q"),
+    )
+    gagg = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+    )
+    return (
+        gagg.crossJoin(eagg)
+        .select(
+            F.col("n").alias("n_cells"),
+            F.col("w").alias("w_edges"),
+            F.expr(MORAN_I_SQL).alias("moran_i_x1e9"),
+            F.expr(
+                "CAST(ROUND((-1.0 / (n - 1)) * 1000000000) AS BIGINT)"
+            ).alias("e_i_x1e9"),
+        )
+    )
+
+
+def local_morans_i(
+    pts: DataFrame, res: int = 6, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Local Moran's I per populated grid cell (Anselin 1995 LISA,
+    binary unstandardized 8-neighbor weights among populated cells),
+    with the analytic randomization z-score and the Moran-scatterplot
+    quadrant (HH/LL/HL/LH; 'NS' for isolated cells, which get I=0, z=0).
+
+    Same engine shape as :func:`getis_ord_gi` (and the same plan-cached
+    cell table): one combinable point-scale count shuffle, an 8-key
+    explode + equi-join for the spatial lag on the ≤4^res cell table, a
+    broadcast of five global scalars.  Isolated populated cells are kept
+    via a left join (lag = k_i = 0).
+
+    Returns (cell_key, x, k_i, lag, lisa_i_x1e9, lisa_z_x1e6, quad).
+    """
+    cells = swap_cache(f"autocorr.cells.{res}", _cell_counts(pts, res, lon, lat))
+    ring = _with_xy(cells, res).select(
+        F.col("x").alias("_nx"),
+        F.explode(F.expr(_neighbor_keys(res, include_self=False))).alias("nbr_key"),
+    )
+    hood = (
+        ring.join(cells.select(F.col("cell_key").alias("nbr_key")), "nbr_key")
+        .groupBy(F.col("nbr_key").alias("cell_key"))
+        .agg(F.sum("_nx").alias("lag"), F.count(F.lit(1)).alias("k_i"))
+    )
+    globals_ = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    joined = (
+        cells.join(hood, "cell_key", "left")
+        .select(
+            "cell_key",
+            "x",
+            F.coalesce(F.col("k_i"), F.lit(0).cast("bigint")).alias("k_i"),
+            F.coalesce(F.col("lag"), F.lit(0).cast("bigint")).alias("lag"),
+        )
+        .crossJoin(F.broadcast(globals_))
+    )
+    return joined.select(
+        "cell_key",
+        "x",
+        "k_i",
+        "lag",
+        F.expr(LISA_I_SQL).alias("lisa_i_x1e9"),
+        F.expr(LISA_Z_SQL).alias("lisa_z_x1e6"),
+        F.expr(LISA_QUAD_SQL).alias("quad"),
+    )
+
+
+def emerging_hotspots(
+    pts: DataFrame,
+    res: int = 5,
+    min_total: int = 20,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per hot cell over the DENSE
+    space-time cube (the ArcGIS "emerging hot spot analysis" core):
+    cells with ≥ ``min_total`` points get a day-binned count series —
+    absent (cell, day) combinations count 0 — and the MK statistic
+    S = Σ_{t1<t2} sign(x_{t2} − x_{t1}) with tie-corrected variance
+    classifies each as intensifying / diminishing / stable at α=0.05.
+
+    Engine shape: one (cell, day) groupBy over points (combinable);
+    the dense cube is hot-cells × global-day-bins (both tiny — bins
+    come from ONE distinct over the already-aggregated (cell, day)
+    table, not a second point pass), densified by a left join; the
+    T²-pairwise sign tally runs per cell on ≤(4^res)·T cube rows.
+    S, ties, and T are exact integers; z is one closed-form double.
+
+    Returns (cell_key, total, t_bins, s_stat, mk_z_x1e6, trend).
+    """
+    # cast() first: parquet may surface TIMESTAMP_NTZ, which unix_micros
+    # rejects — with the session pinned to UTC the NTZ→LTZ cast is the
+    # identity wall-time DuckDB's epoch_us uses (same idiom as tube.py)
+    day = F.expr(
+        f"CAST(floor(unix_micros(CAST({ts} AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"
+    )
+    cd = swap_cache(
+        f"autocorr.cube.{res}",
+        pts.select(
+            _cell_key(lon, lat, res).alias("cell_key"), day.alias("day_bin")
+        )
+        .groupBy("cell_key", "day_bin")
+        .agg(F.count(F.lit(1)).alias("x")),
+    )
+    hot = (
+        cd.groupBy("cell_key")
+        .agg(F.sum("x").alias("total"))
+        .filter(F.col("total") >= int(min_total))
+    )
+    bins = cd.select("day_bin").distinct()
+    cube = (
+        hot.crossJoin(F.broadcast(bins))
+        .join(cd, ["cell_key", "day_bin"], "left")
+        .select(
+            "cell_key",
+            "total",
+            "day_bin",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    cube = swap_cache(f"autocorr.densecube.{res}", cube)
+    a, b = [
+        cube.select(
+            "cell_key",
+            F.col("day_bin").alias(f"b{i}"),
+            F.col("x").alias(f"x{i}"),
+            *(["total"] if i == 1 else []),
+        )
+        for i in (1, 2)
+    ]
+    pairs = a.join(b, "cell_key").filter(F.col("b2") > F.col("b1"))
+    mk = pairs.groupBy("cell_key", "total").agg(
+        F.sum(
+            F.expr("CASE WHEN x2 > x1 THEN 1 WHEN x2 < x1 THEN -1 ELSE 0 END")
+        ).alias("s_stat")
+    )
+    ties = (
+        cube.groupBy("cell_key", "x")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .groupBy("cell_key")
+        .agg(
+            F.sum(F.expr("tg * (tg - 1) * (2 * tg + 5)")).alias("ties"),
+            F.sum("tg").alias("t_bins"),
+        )
+    )
+    return (
+        mk.join(ties, "cell_key")
+        .select(
+            "cell_key",
+            "total",
+            "t_bins",
+            "s_stat",
+            F.expr(f"CAST(ROUND(({MK_Z_SQL}) * 1000000) AS BIGINT)").alias(
+                "mk_z_x1e6"
+            ),
+            F.expr(MK_TREND_SQL).alias("trend"),
+        )
+    )

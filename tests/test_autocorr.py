@@ -1,0 +1,238 @@
+"""Independent numpy oracles for the spatial-autocorrelation operators
+(Getis-Ord Gi*, global Moran's I, Mann-Kendall emerging hotspots).
+
+The driver-contract oracle (entry_queries.oracle_sql) shares the closed-
+form SQL strings with the engine by construction; these tests instead
+re-derive each statistic from the TEXTBOOK formula in numpy — a genuinely
+independent second implementation — on a deterministic synthetic cloud."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import autocorr
+
+RES = 4
+SIDE = 1 << RES
+
+
+def _pts(spark, n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    # three dense blobs + uniform background so counts genuinely vary
+    lon = np.concatenate(
+        [
+            rng.normal(10.0, 3.0, n // 3),
+            rng.normal(-60.0, 2.0, n // 3),
+            rng.uniform(-179.0, 179.0, n - 2 * (n // 3)),
+        ]
+    )
+    lat = np.concatenate(
+        [
+            rng.normal(15.0, 2.0, n // 3),
+            rng.normal(-20.0, 3.0, n // 3),
+            rng.uniform(-84.0, 84.0, n - 2 * (n // 3)),
+        ]
+    )
+    lon = np.clip(lon, -180.0, 180.0)
+    lat = np.clip(lat, -85.0, 85.0)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat})), lon, lat
+
+
+def _np_cells(lon, lat):
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * SIDE).astype(np.int64), 0, SIDE - 1)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * SIDE).astype(np.int64), 0, SIDE - 1)
+    keys, counts = np.unique((x << RES) | y, return_counts=True)
+    return dict(zip(keys.tolist(), counts.tolist()))
+
+
+def _neighbors(key, include_self):
+    cx, cy = key >> RES, key & (SIDE - 1)
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0 and not include_self:
+                continue
+            nx, ny = cx + dx, cy + dy
+            if 0 <= nx < SIDE and 0 <= ny < SIDE:
+                out.append((nx << RES) | ny)
+    return out
+
+
+def test_gi_star_matches_textbook_formula(spark):
+    df, lon, lat = _pts(spark)
+    got = {
+        r["cell_key"]: r
+        for r in autocorr.getis_ord_gi(df, res=RES).collect()
+    }
+    cells = _np_cells(lon, lat)
+    xs = np.array(list(cells.values()), dtype=np.float64)
+    n, xbar, sd = len(cells), xs.mean(), xs.std()
+    assert set(got) == set(cells)
+    for key, x in cells.items():
+        nbrs = [k for k in _neighbors(key, include_self=True) if k in cells]
+        w = float(sum(cells[k] for k in nbrs))
+        k_i = float(len(nbrs))
+        z = (w - xbar * k_i) / (sd * np.sqrt((n * k_i - k_i * k_i) / (n - 1)))
+        row = got[key]
+        assert row["x"] == x and row["k_i"] == k_i and row["w_i"] == w
+        assert row["gi_z_x1e6"] == pytest.approx(z * 1e6, abs=2)
+
+
+def test_gi_star_hot_blob_is_hot(spark):
+    df, lon, lat = _pts(spark)
+    rows = autocorr.getis_ord_gi(df, res=RES).collect()
+    # the cell containing blob center (10, 15) must score far above the
+    # global field, and SOME cell must be significantly cold or neutral
+    cx = int((10.0 + 180.0) / 360.0 * SIDE)
+    cy = int((15.0 + 90.0) / 180.0 * SIDE)
+    blob = [r for r in rows if r["cell_key"] == ((cx << RES) | cy)]
+    assert blob and blob[0]["gi_z_x1e6"] > 2_000_000  # z > 2
+    assert min(r["gi_z_x1e6"] for r in rows) < 500_000
+
+
+def test_morans_i_matches_textbook_formula(spark):
+    df, lon, lat = _pts(spark)
+    row = autocorr.morans_i(df, res=RES).collect()[0]
+    cells = _np_cells(lon, lat)
+    xs = np.array(list(cells.values()), dtype=np.float64)
+    n, xbar = len(cells), xs.mean()
+    num = w = 0.0
+    for key, x in cells.items():
+        for k in _neighbors(key, include_self=False):
+            if k in cells:
+                w += 1
+                num += (x - xbar) * (cells[k] - xbar)
+    i = (n / w) * num / ((xs - xbar) ** 2).sum()
+    assert row["n_cells"] == n and row["w_edges"] == w
+    assert row["moran_i_x1e9"] == pytest.approx(i * 1e9, abs=10)
+    assert row["e_i_x1e9"] == round(-1.0 / (n - 1) * 1e9)
+    # clustered blobs on a mostly-empty grid => strong positive autocorr
+    assert row["moran_i_x1e9"] > 0
+
+
+def test_local_morans_i_matches_textbook(spark):
+    df, lon, lat = _pts(spark)
+    got = {
+        r["cell_key"]: r
+        for r in autocorr.local_morans_i(df, res=RES).collect()
+    }
+    cells = _np_cells(lon, lat)
+    xs = np.array(list(cells.values()), dtype=np.float64)
+    n, mu = len(cells), xs.mean()
+    m2 = ((xs - mu) ** 2).mean()
+    b2 = ((xs - mu) ** 4).mean() / m2**2
+    assert set(got) == set(cells)
+    saw_isolated = saw_hh = False
+    for key, x in cells.items():
+        nbrs = [k for k in _neighbors(key, include_self=False) if k in cells]
+        k_i, lag = len(nbrs), sum(cells[k] for k in nbrs)
+        i_val = (x - mu) * sum(cells[k] - mu for k in nbrs) / m2
+        row = got[key]
+        assert row["x"] == x and row["k_i"] == k_i and row["lag"] == lag
+        assert row["lisa_i_x1e9"] == pytest.approx(i_val * 1e9, abs=10)
+        if k_i == 0:
+            assert row["lisa_z_x1e6"] == 0 and row["quad"] == "NS"
+            saw_isolated = True
+            continue
+        e_i = -k_i / (n - 1)
+        var = (
+            k_i * (n - b2) / (n - 1)
+            + k_i * (k_i - 1) * (2 * b2 - n) / ((n - 1) * (n - 2))
+            - k_i**2 / (n - 1) ** 2
+        )
+        assert row["lisa_z_x1e6"] == pytest.approx(
+            (i_val - e_i) / np.sqrt(var) * 1e6, abs=3
+        )
+        zi, lagdev = x - mu, lag - k_i * mu
+        quad = (
+            "HH" if zi > 0 and lagdev > 0
+            else "LL" if zi < 0 and lagdev < 0
+            else "HL" if zi > 0 and lagdev < 0
+            else "LH" if zi < 0 and lagdev > 0
+            else "NS"
+        )
+        assert row["quad"] == quad
+        saw_hh = saw_hh or quad == "HH"
+    # the blobs guarantee at least one genuine high-high cluster cell
+    assert saw_hh
+
+
+def _mk_np(series):
+    s = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            s += int(np.sign(series[j] - series[i]))
+    t = len(series)
+    _, tg = np.unique(series, return_counts=True)
+    var = (t * (t - 1) * (2 * t + 5) - (tg * (tg - 1) * (2 * tg + 5)).sum()) / 18.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var)
+    else:
+        z = 0.0
+    return s, z
+
+
+def test_emerging_hotspots_mann_kendall(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # cell A: linearly growing count; cell B: shrinking; cell C: flat;
+    # cell D: appears only in some days (dense-cube zeros matter)
+    base = 1_700_000_000_000_000  # epoch micros
+    day = 86_400_000_000
+    for d in range(12):
+        for _ in range(2 + d):  # growing
+            rows.append((5.0, 5.0, base + d * day + 1))
+        for _ in range(14 - d):  # shrinking
+            rows.append((100.0, 40.0, base + d * day + 1))
+        for _ in range(8):  # flat
+            rows.append((-100.0, -40.0, base + d * day + 1))
+    for d in (0, 11):  # sparse cell: zeros in between
+        for _ in range(15):
+            rows.append((170.0, 80.0, base + d * day + 1))
+    pdf = pd.DataFrame(rows, columns=["lon", "lat", "us"])
+    df = spark.createDataFrame(pdf).select(
+        "lon", "lat", F.expr("timestamp_micros(us)").alias("ts")
+    )
+    out = {
+        r["cell_key"]: r
+        for r in autocorr.emerging_hotspots(df, res=RES, min_total=10).collect()
+    }
+
+    def key(lo, la):
+        x = min(max(int((lo + 180.0) / 360.0 * SIDE), 0), SIDE - 1)
+        y = min(max(int((la + 90.0) / 180.0 * SIDE), 0), SIDE - 1)
+        return (x << RES) | y
+
+    grow, shrink, flat, sparse = (
+        out[key(5, 5)],
+        out[key(100, 40)],
+        out[key(-100, -40)],
+        out[key(170, 80)],
+    )
+    s, z = _mk_np([2 + d for d in range(12)])
+    assert grow["s_stat"] == s and grow["trend"] == "intensifying"
+    assert grow["mk_z_x1e6"] == pytest.approx(z * 1e6, abs=2)
+    s, z = _mk_np([14 - d for d in range(12)])
+    assert shrink["s_stat"] == s and shrink["trend"] == "diminishing"
+    assert flat["s_stat"] == 0 and flat["mk_z_x1e6"] == 0
+    assert flat["trend"] == "stable"
+    # sparse cell's series is 15,0,...,0,15 over the DENSE cube
+    s, z = _mk_np([15] + [0] * 10 + [15])
+    assert sparse["s_stat"] == s and sparse["t_bins"] == 12
+    assert sparse["mk_z_x1e6"] == pytest.approx(z * 1e6, abs=2)
+
+
+def test_autocorr_plan_shape(spark):
+    """The only corpus-scale stage is the first cell count: no join in
+    the Gi* plan may carry a point-scale side, and the globals join is
+    a broadcast (no shuffle Exchange after the first aggregate's)."""
+    df, _, _ = _pts(spark)
+    plan = autocorr.getis_ord_gi(df, res=RES)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
