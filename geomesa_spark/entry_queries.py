@@ -980,6 +980,32 @@ def q_emerging_hotspots(spark, sf_dir):
     )
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K/L at a 25/50/100/200 km ladder over the |lat|<=60
+    band: one bounded-ring pair join at 200 km, exact BIGINT pair counts
+    per rung, K/L via the shared pointpattern.ripley_*_sql closed forms
+    (identical text in the DuckDB twin)."""
+    from .operators import pointpattern as pp
+
+    return pp.ripley_k(_event_points(spark, sf_dir), res=6, lat_max=60.0)
+
+
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction (100 km / 48 h) over the |lat|<=60
+    band: S/T/X pair counts are exact BIGINTs from ring equi-joins (no
+    all-pairs stage); expectation and Poisson z are the shared
+    pointpattern.KNOX_*_SQL expressions."""
+    from .operators import pointpattern as pp
+
+    return pp.knox_test(
+        _event_points(spark, sf_dir),
+        dist_m=100_000.0,
+        dt_s=2 * 86_400,
+        res=6,
+        lat_max=60.0,
+    )
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -1525,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star": q_gi_star,
         "morans_i": q_morans_i,
         "local_moran": q_local_moran,
+        "ripley_k": q_ripley_k,
+        "knox_test": q_knox_test,
         "emerging_hotspots": q_emerging_hotspots,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
@@ -1884,6 +1912,15 @@ def oracle_sql() -> dict[str, str]:
         MK_Z_SQL as _MK_Z_SQL,
         MORAN_I_SQL as _MORAN_I_SQL,
     )
+    from .operators.pointpattern import (
+        KNOX_E_SQL as _KNOX_E_SQL,
+        KNOX_Z_SQL as _KNOX_Z_SQL,
+        ripley_k_sql,
+        ripley_l_sql,
+    )
+
+    _RIPLEY_K_SQL = ripley_k_sql(60.0)
+    _RIPLEY_L_SQL = ripley_l_sql(60.0)
 
     hav_c = _HAVERSINE.format(lon1="lon", lat1="lat", lon2="clon", lat2="clat")
     centers_vals = ", ".join(f"('{c}', {lo}, {la})" for c, lo, la in DWITHIN_CENTERS)
@@ -2977,6 +3014,70 @@ def oracle_sql() -> dict[str, str]:
                    {_MORAN_I_SQL} AS moran_i_x1e9,
                    CAST(ROUND((-1.0 / (n - 1)) * 1000000000) AS BIGINT) AS e_i_x1e9
             FROM g, ea
+        """,
+        "ripley_k": f"""
+            WITH {_pts_cte()},
+            w AS (
+              SELECT event_id, lon, lat,
+                     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+                     least(greatest(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+              FROM pts WHERE abs(lat) <= 60.0),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ringb AS (
+              SELECT w.event_id, w.lon, w.lat,
+                     (((w.cx + o.dx + 64) % 64) << 6) | (w.cy + o.dy) AS nbr
+              FROM w, offs o
+              WHERE w.cy + o.dy BETWEEN 0 AND 63),
+            prs AS (
+              SELECT {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} AS dist_m
+              FROM w a JOIN ringb b
+                ON ((a.cx << 6) | a.cy) = b.nbr AND a.event_id < b.event_id
+              WHERE {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} <= 200000.0),
+            counts AS (
+              SELECT CAST(t.d_m AS BIGINT) AS d_m,
+                     CAST(SUM(CASE WHEN p.dist_m <= t.d_m THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+              FROM prs p CROSS JOIN (VALUES (25000),(50000),(100000),(200000)) AS t(d_m)
+              GROUP BY t.d_m),
+            g AS (SELECT COUNT(*) AS n FROM w)
+            SELECT d_m, pairs,
+                   {_RIPLEY_K_SQL} AS k_hat_m2,
+                   {_RIPLEY_L_SQL} AS l_hat_mm
+            FROM counts, g
+        """,
+        "knox_test": f"""
+            WITH {_pts_cte()},
+            w AS (
+              SELECT p.event_id, p.lon, p.lat, epoch_us(e.ts) AS us,
+                     least(greatest(CAST(floor((p.lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+                     least(greatest(CAST(floor((p.lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+              FROM pts p JOIN events e ON p.event_id = e.event_id
+              WHERE abs(p.lat) <= 60.0),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ringb AS (
+              SELECT w.event_id, w.lon, w.lat, w.us,
+                     (((w.cx + o.dx + 64) % 64) << 6) | (w.cy + o.dy) AS nbr
+              FROM w, offs o
+              WHERE w.cy + o.dy BETWEEN 0 AND 63),
+            sx AS (
+              SELECT COUNT(*) AS space_pairs,
+                     CAST(SUM(CASE WHEN ABS(a.us - b.us) <= {2 * 86_400 * 1_000_000}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS st_pairs
+              FROM w a JOIN ringb b
+                ON ((a.cx << 6) | a.cy) = b.nbr AND a.event_id < b.event_id
+              WHERE {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} <= 100000.0),
+            tp AS (
+              SELECT COUNT(*) AS time_pairs
+              FROM w a JOIN w b
+                ON b.us BETWEEN a.us - {2 * 86_400 * 1_000_000}
+                            AND a.us + {2 * 86_400 * 1_000_000}
+               AND a.event_id < b.event_id),
+            g AS (SELECT COUNT(*) AS n FROM w)
+            SELECT g.n, sx.space_pairs, tp.time_pairs, sx.st_pairs,
+                   {_KNOX_E_SQL} AS knox_e_x1e6,
+                   {_KNOX_Z_SQL} AS knox_z_x1e6
+            FROM sx, tp, g
         """,
         "local_moran": f"""
             WITH {_pts_cte()},
