@@ -188,6 +188,13 @@ def main() -> None:
     # 9. generic agg baseline (TPC-H Q1 analogue on driver table)
     run("q1_pricing", lambda: entry_queries.q_q1_pricing(spark, sf_dir).count())
 
+    # 10-11. round-5 statistics family (NEW keys — the pre-r5 suite total
+    # is the sum of keys 1-9; compare per-query across rounds): Gi* hot
+    # spots (one combinable count shuffle over events + cell-table joins)
+    # and Ripley's K ladder (bounded wrapped-ring pair join at 200 km)
+    run("gi_star", lambda: entry_queries.q_gi_star(spark, sf_dir).count())
+    run("ripley_k", lambda: entry_queries.q_ripley_k(spark, sf_dir).count())
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["spatial_join_docs"], 1)
     print(
