@@ -114,7 +114,45 @@ def main() -> None:
         th,
     )
 
+    gi = q.q_gi_star(spark, sf_dir)
+    plans["gi_star"] = (
+        "Want: ONE map-side-combinable aggregate over point-scale data "
+        "(partial_count below the first Exchange); every join after it on "
+        "the <=4^res cell table; the only nested-loop the 1-row globals "
+        "broadcast; no CartesianProduct.",
+        plan_of(gi),
+        gi,
+    )
+
+    rk = q.q_ripley_k(spark, sf_dir)
+    plans["ripley_k"] = (
+        "Want: the pair stage is an EQUI-join on the packed ring key "
+        "(_key) — never a theta/cartesian product; ladder counts as one "
+        "conditional aggregate above it.",
+        plan_of(rk),
+        rk,
+    )
+
     import re
+
+    # REGRESSION GUARD (round-5): the autocorr family's only point-scale
+    # stage is the first cell count, and it must keep its map-side combine;
+    # the point-pattern pair stage must stay an equi-join on the ring key.
+    gi_text = plans["gi_star"][1]
+    if "CartesianProduct" in gi_text or "partial_count" not in gi_text:
+        sys.exit(
+            "PLAN REGRESSION: gi_star lost its map-side partial_count or "
+            "grew a cartesian node (want: one combinable point-scale "
+            "aggregate, cell-table joins only)"
+        )
+    rk_text = plans["ripley_k"][1]
+    if "CartesianProduct" in rk_text or not re.search(
+        r"keys \[\d+\]: \[_key#", rk_text
+    ):
+        sys.exit(
+            "PLAN REGRESSION: ripley_k pair stage is not an equi-join on "
+            "the packed ring key (want: join keys [_key], no cartesian)"
+        )
 
     # REGRESSION GUARD (round-4): the trajectory-similarity plan must stay
     # cell-pruned — a BroadcastNestedLoop/CartesianProduct node means the
