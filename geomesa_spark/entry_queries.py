@@ -990,6 +990,22 @@ def q_ripley_k(spark, sf_dir):
     return pp.ripley_k(_event_points(spark, sf_dir), res=6, lat_max=60.0)
 
 
+def q_cross_k(spark, sf_dir):
+    """Bivariate Ripley's K between 'click' and 'purchase' events at a
+    50/100/200 km ladder (|lat|<=60 band): ordered A->B pair counts from
+    the cross-mode bounded-ring join; K/L via the shared
+    pointpattern.cross_*_sql closed forms."""
+    from .operators import pointpattern as pp
+
+    ev = _event_points(spark, sf_dir)
+    return pp.cross_k(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        res=6,
+        lat_max=60.0,
+    )
+
+
 def q_knox_test(spark, sf_dir):
     """Knox space-time interaction (100 km / 48 h) over the |lat|<=60
     band: S/T/X pair counts are exact BIGINTs from ring equi-joins (no
@@ -1552,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
+        "cross_k": q_cross_k,
         "knox_test": q_knox_test,
         "emerging_hotspots": q_emerging_hotspots,
         "geofence_transitions": q_geofence_transitions,
@@ -1915,12 +1932,18 @@ def oracle_sql() -> dict[str, str]:
     from .operators.pointpattern import (
         KNOX_E_SQL as _KNOX_E_SQL,
         KNOX_Z_SQL as _KNOX_Z_SQL,
+        cross_k_sql,
+        cross_l_sql,
+        pair_g_sql,
         ripley_k_sql,
         ripley_l_sql,
     )
 
     _RIPLEY_K_SQL = ripley_k_sql(60.0)
     _RIPLEY_L_SQL = ripley_l_sql(60.0)
+    _PAIR_G_SQL = pair_g_sql(60.0)
+    _CROSS_K_SQL = cross_k_sql(60.0)
+    _CROSS_L_SQL = cross_l_sql(60.0)
 
     hav_c = _HAVERSINE.format(lon1="lon", lat1="lat", lon2="clon", lat2="clat")
     centers_vals = ", ".join(f"('{c}', {lo}, {la})" for c, lo, la in DWITHIN_CENTERS)
@@ -3039,11 +3062,51 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CASE WHEN p.dist_m <= t.d_m THEN 1 ELSE 0 END) AS BIGINT) AS pairs
               FROM prs p CROSS JOIN (VALUES (25000),(50000),(100000),(200000)) AS t(d_m)
               GROUP BY t.d_m),
+            ringd AS (
+              SELECT d_m,
+                     COALESCE(LAG(d_m) OVER (ORDER BY d_m), 0) AS d_prev,
+                     pairs,
+                     pairs - COALESCE(LAG(pairs) OVER (ORDER BY d_m), 0) AS ring_pairs
+              FROM counts),
             g AS (SELECT COUNT(*) AS n FROM w)
-            SELECT d_m, pairs,
+            SELECT d_m, d_prev, pairs, ring_pairs,
                    {_RIPLEY_K_SQL} AS k_hat_m2,
-                   {_RIPLEY_L_SQL} AS l_hat_mm
-            FROM counts, g
+                   {_RIPLEY_L_SQL} AS l_hat_mm,
+                   {_PAIR_G_SQL} AS g_hat_x1e6
+            FROM ringd, g
+        """,
+        "cross_k": f"""
+            WITH {_pts_cte()},
+            w0 AS (
+              SELECT p.event_id, p.lon, p.lat, e.event_type,
+                     least(greatest(CAST(floor((p.lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+                     least(greatest(CAST(floor((p.lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+              FROM pts p JOIN events e ON p.event_id = e.event_id
+              WHERE abs(p.lat) <= 60.0),
+            wa AS (SELECT * FROM w0 WHERE event_type = 'click'),
+            wb AS (SELECT * FROM w0 WHERE event_type = 'purchase'),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ringb AS (
+              SELECT w.event_id, w.lon, w.lat,
+                     (((w.cx + o.dx + 64) % 64) << 6) | (w.cy + o.dy) AS nbr
+              FROM wb w, offs o
+              WHERE w.cy + o.dy BETWEEN 0 AND 63),
+            prs AS (
+              SELECT {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} AS dist_m
+              FROM wa a JOIN ringb b ON ((a.cx << 6) | a.cy) = b.nbr
+              WHERE {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} <= 200000.0),
+            counts AS (
+              SELECT CAST(t.d_m AS BIGINT) AS d_m,
+                     CAST(SUM(CASE WHEN p.dist_m <= t.d_m THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+              FROM prs p CROSS JOIN (VALUES (50000),(100000),(200000)) AS t(d_m)
+              GROUP BY t.d_m),
+            nn AS (SELECT (SELECT COUNT(*) FROM wa) AS n_a,
+                          (SELECT COUNT(*) FROM wb) AS n_b)
+            SELECT d_m, pairs,
+                   {_CROSS_K_SQL} AS k_ab_m2,
+                   {_CROSS_L_SQL} AS l_ab_mm
+            FROM counts, nn
         """,
         "knox_test": f"""
             WITH {_pts_cte()},

@@ -68,16 +68,53 @@ def test_ripley_k_matches_bruteforce(spark):
     pair_d = dm[iu]
     area = pp.band_area_m2(LAT_MAX)
     assert set(got) == {int(d) for d in dists}
+    prev = 0.0
     for d in dists:
         cnt = int((pair_d <= d).sum())
+        ring = cnt - int((pair_d <= prev).sum())
         k = area * 2.0 * cnt / (n * (n - 1))
+        g = area * 2.0 * ring / (n * (n - 1)) / (math.pi * (d * d - prev * prev))
         row = got[int(d)]
-        assert row["pairs"] == cnt
+        assert row["pairs"] == cnt and row["ring_pairs"] == ring
+        assert row["d_prev"] == int(prev)
         assert row["k_hat_m2"] == pytest.approx(k, abs=2)
         assert row["l_hat_mm"] == pytest.approx(math.sqrt(k / math.pi) * 1000, abs=2)
+        assert row["g_hat_x1e6"] == pytest.approx(g * 1e6, abs=2)
+        prev = d
     # the ladder is cumulative and the blobs force clustering: K(200km)
     # must far exceed the CSR expectation pi*d^2
     assert got[200_000]["k_hat_m2"] > math.pi * 200_000.0**2
+
+
+def test_cross_k_matches_bruteforce(spark):
+    pdf = _cloud(n=1400, seed=9)
+    pa = pdf[pdf["event_id"] % 2 == 0]
+    pb = pdf[pdf["event_id"] % 2 == 1]
+    dists = (50_000.0, 100_000.0)
+    got = {
+        r["d_m"]: r
+        for r in pp.cross_k(
+            spark.createDataFrame(pa), spark.createDataFrame(pb),
+            dists, res=RES, lat_max=LAT_MAX,
+        ).collect()
+    }
+    wa, wb = _window(pa), _window(pb)
+    na, nb = len(wa), len(wb)
+    la, laa = wa["lon"].to_numpy(), wa["lat"].to_numpy()
+    lb, lbb = wb["lon"].to_numpy(), wb["lat"].to_numpy()
+    # cross haversine matrix
+    ra, rb = np.radians(laa)[:, None], np.radians(lbb)[None, :]
+    dlo = np.radians(lb)[None, :] - np.radians(la)[:, None]
+    h = np.sin((rb - ra) / 2) ** 2 + np.cos(ra) * np.cos(rb) * np.sin(dlo / 2) ** 2
+    dm = 2.0 * 6371008.8 * np.arcsin(np.minimum(np.sqrt(h), 1.0))
+    area = pp.band_area_m2(LAT_MAX)
+    for d in dists:
+        cnt = int((dm <= d).sum())
+        k = area * cnt / (na * nb)
+        row = got[int(d)]
+        assert row["pairs"] == cnt
+        assert row["k_ab_m2"] == pytest.approx(k, abs=2)
+        assert row["l_ab_mm"] == pytest.approx(math.sqrt(k / math.pi) * 1000, abs=2)
 
 
 def test_knox_matches_bruteforce(spark):
