@@ -1006,6 +1006,22 @@ def q_cross_k(spark, sf_dir):
     )
 
 
+def q_nn_g(spark, sf_dir):
+    """Nearest-neighbor G(d) CDF at a 50/100/200 km ladder (|lat|<=60
+    band; the sf-scale mean NN distance is ~109 km, so every rung is
+    populated): per-rung COUNT(DISTINCT endpoint) over the same
+    bounded-ring pair join; exact BIGINTs + the shared
+    pointpattern.NN_G_SQL ratio."""
+    from .operators import pointpattern as pp
+
+    return pp.nn_g_function(
+        _event_points(spark, sf_dir),
+        dists_m=(50_000.0, 100_000.0, 200_000.0),
+        res=6,
+        lat_max=60.0,
+    )
+
+
 def q_knox_test(spark, sf_dir):
     """Knox space-time interaction (100 km / 48 h) over the |lat|<=60
     band: S/T/X pair counts are exact BIGINTs from ring equi-joins (no
@@ -1569,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
         "cross_k": q_cross_k,
+        "nn_g": q_nn_g,
         "knox_test": q_knox_test,
         "emerging_hotspots": q_emerging_hotspots,
         "geofence_transitions": q_geofence_transitions,
@@ -1932,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators.pointpattern import (
         KNOX_E_SQL as _KNOX_E_SQL,
         KNOX_Z_SQL as _KNOX_Z_SQL,
+        NN_G_SQL as _NN_G_SQL,
         cross_k_sql,
         cross_l_sql,
         pair_g_sql,
@@ -3074,6 +3092,39 @@ def oracle_sql() -> dict[str, str]:
                    {_RIPLEY_L_SQL} AS l_hat_mm,
                    {_PAIR_G_SQL} AS g_hat_x1e6
             FROM ringd, g
+        """,
+        "nn_g": f"""
+            WITH {_pts_cte()},
+            w AS (
+              SELECT event_id, lon, lat,
+                     least(greatest(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 0), 63) AS cx,
+                     least(greatest(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS cy
+              FROM pts WHERE abs(lat) <= 60.0),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ringb AS (
+              SELECT w.event_id, w.lon, w.lat,
+                     (((w.cx + o.dx + 64) % 64) << 6) | (w.cy + o.dy) AS nbr
+              FROM w, offs o
+              WHERE w.cy + o.dy BETWEEN 0 AND 63),
+            prs AS (
+              SELECT a.event_id AS id_a, b.event_id AS id_b,
+                     {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} AS dist_m
+              FROM w a JOIN ringb b
+                ON ((a.cx << 6) | a.cy) = b.nbr AND a.event_id < b.event_id
+              WHERE {_HAVERSINE.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")} <= 200000.0),
+            ends AS (
+              SELECT id_a AS id, dist_m FROM prs
+              UNION ALL SELECT id_b AS id, dist_m FROM prs),
+            counts AS (
+              SELECT CAST(t.d_m AS BIGINT) AS d_m,
+                     CAST(COUNT(DISTINCT e.id) AS BIGINT) AS n_le
+              FROM ends e CROSS JOIN (VALUES (50000),(100000),(200000)) AS t(d_m)
+              WHERE e.dist_m <= t.d_m
+              GROUP BY t.d_m),
+            g AS (SELECT COUNT(*) AS n FROM w)
+            SELECT d_m, n_le, n, {_NN_G_SQL} AS g_x1e6
+            FROM counts, g
         """,
         "cross_k": f"""
             WITH {_pts_cte()},

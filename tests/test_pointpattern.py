@@ -117,6 +117,27 @@ def test_cross_k_matches_bruteforce(spark):
         assert row["l_ab_mm"] == pytest.approx(math.sqrt(k / math.pi) * 1000, abs=2)
 
 
+def test_nn_g_function_matches_bruteforce(spark):
+    pdf = _cloud(n=1000, seed=21)
+    got = {
+        r["d_m"]: r
+        for r in pp.nn_g_function(
+            spark.createDataFrame(pdf), (10_000.0, 25_000.0, 50_000.0, 100_000.0),
+            res=RES, lat_max=LAT_MAX,
+        ).collect()
+    }
+    w = _window(pdf)
+    n = len(w)
+    dm = _hav_matrix(w["lon"].to_numpy(), w["lat"].to_numpy())
+    np.fill_diagonal(dm, np.inf)
+    nnd = dm.min(axis=1)
+    for d in (10_000.0, 25_000.0, 50_000.0, 100_000.0):
+        n_le = int((nnd <= d).sum())
+        row = got[int(d)]
+        assert row["n_le"] == n_le and row["n"] == n
+        assert row["g_x1e6"] == pytest.approx(n_le / n * 1e6, abs=2)
+
+
 def test_knox_matches_bruteforce(spark):
     pdf = _cloud(n=1200, seed=5)
     df = spark.createDataFrame(pdf).select(
