@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, functions as F
 from ..cache import swap_cache
 from .tiling import _tile_xy_expr
 
-__all__ = ["getis_ord_gi", "morans_i", "local_morans_i", "emerging_hotspots"]
+__all__ = [
+    "getis_ord_gi",
+    "gi_from_cells",
+    "morans_i",
+    "local_morans_i",
+    "emerging_hotspots",
+]
 
 
 def _cell_key(lon: str, lat: str, res: int) -> F.Column:
@@ -175,35 +181,53 @@ def getis_ord_gi(
     Returns (cell_key, x, k_i, w_i, gi_z_x1e6).
     """
     cells = swap_cache(f"autocorr.cells.{res}", _cell_counts(pts, res, lon, lat))
+    return gi_from_cells(cells, res)
+
+
+def gi_from_cells(cells: DataFrame, res: int, by: tuple[str, ...] = ()) -> DataFrame:
+    """Gi* over a PRE-AGGREGATED cell-count table (cell_key, x [, *by]);
+    ``by`` adds grouping keys (e.g. a streaming window bound) — the
+    neighborhood join, populated-neighbor count, and global moments all
+    scope per group.  :func:`getis_ord_gi` is the by=() point-table
+    front-end; the streaming hot-spot sink feeds finalized windows here.
+
+    Returns (*by, cell_key, x, k_i, w_i, gi_z_x1e6).
+    """
+    by = list(by)
     ring = _with_xy(cells, res).select(
+        *by,
         F.col("x").alias("_nx"),
         F.explode(F.expr(_neighbor_keys(res, include_self=True))).alias("nbr_key"),
     )
     # neighborhood sums: for every populated cell i, the ring rows whose
     # neighbor key IS i contribute that neighbor's count (self included)
     hood = (
-        ring.join(cells.select(F.col("cell_key").alias("nbr_key")), "nbr_key")
-        .groupBy(F.col("nbr_key").alias("cell_key"))
+        ring.join(
+            cells.select(*by, F.col("cell_key").alias("nbr_key")), [*by, "nbr_key"]
+        )
+        .groupBy(*by, F.col("nbr_key").alias("cell_key"))
         .agg(
             F.sum("_nx").alias("w_i"),
             F.count(F.lit(1)).alias("k_i"),
         )
     )
-    globals_ = cells.agg(
+    globals_ = cells.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s1"),
         F.sum(F.expr("x * x")).alias("s2"),
     )
-    return (
-        cells.join(hood, "cell_key")
-        .crossJoin(F.broadcast(globals_))
-        .select(
-            "cell_key",
-            "x",
-            "k_i",
-            "w_i",
-            F.expr(GI_STAR_SQL).alias("gi_z_x1e6"),
-        )
+    joined = cells.join(hood, [*by, "cell_key"])
+    if by:
+        joined = joined.join(F.broadcast(globals_), by)
+    else:
+        joined = joined.crossJoin(F.broadcast(globals_))
+    return joined.select(
+        *by,
+        "cell_key",
+        "x",
+        "k_i",
+        "w_i",
+        F.expr(GI_STAR_SQL).alias("gi_z_x1e6"),
     )
 
 

@@ -205,6 +205,66 @@ def live_cell_counts(
     )
 
 
+def windowed_cell_counts_grid(
+    points: DataFrame, res: int = 6, window: str = "1 hour",
+    watermark: str = "2 hours", ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window density on the autocorr packed (x<<res|y) grid key
+    (NOT the Morton key of :func:`live_cell_counts` — the Gi* kernel's
+    neighborhood decode expects the packed axes).  In append output mode
+    each window emits exactly once, complete, when the watermark passes
+    its end."""
+    from ..operators.autocorr import _cell_key
+
+    return (
+        points.withWatermark(ts_col, watermark)
+        .withColumn("cell_key", _cell_key("lon", "lat", res))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("cell_key"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(F.col("w.start").alias("window_start"), "cell_key", "x")
+    )
+
+
+def stream_hotspots(
+    points: DataFrame, out_path: str, checkpoint_dir: str, res: int = 6,
+    window: str = "1 hour", watermark: str = "2 hours", ts_col: str = "ts",
+):
+    """Streaming Getis-Ord hot-spot detection — the live counterpart of
+    the batch `gi_star` query (GeoMesa's DensityScan-over-Kafka use case,
+    one analytic step further).
+
+    Shape: the corpus-scale work is the windowed cell count (streaming
+    partial-agg, watermark-bounded state).  Because append mode emits a
+    window ONLY once the watermark passes its end, every window arrives
+    in the foreachBatch sink COMPLETE and exactly once — the sink then
+    runs the batch Gi* kernel per window (`autocorr.gi_from_cells`,
+    by=window_start) on the ≤4^res-row finalized cell table and appends
+    (window_start, cell_key, x, k_i, w_i, gi_z_x1e6) to ``out_path``.
+    Exactly-once end-to-end: the aggregation state is checkpointed and a
+    replayed epoch rewrites the same rows.
+
+    Returns the StreamingQuery handle.
+    """
+    counts = windowed_cell_counts_grid(points, res, window, watermark, ts_col)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.autocorr import gi_from_cells
+
+        gi_from_cells(batch_df, res, by=("window_start",)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_spatial_join(
     points: DataFrame, polygon_rows: list[dict], res: int = 8, predicate: str = "intersects",
 ) -> DataFrame:

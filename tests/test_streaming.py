@@ -495,3 +495,74 @@ def test_stream_near_dup_ttl_expires_state(spark, tmp_path):
         ds.stream_near_dup(stream, ttl_minutes=60), "sneardup_ttl", spark
     ).toPandas()
     assert len(out) == 0
+
+
+def test_stream_hotspots_matches_batch_gi(spark, tmp_path):
+    """Streaming Gi*: windows finalize across DIFFERENT micro-batches
+    (maxFilesPerTrigger=1 + a sentinel advancing the watermark), and
+    every emitted window's z-scores equal the BATCH getis_ord_gi run on
+    that window's slice of the same points."""
+    import numpy as np
+
+    from geomesa_spark.operators import autocorr
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2026-02-01 00:00:00")
+
+    def mk(hour, n_blob, n_bg):
+        lon = np.concatenate(
+            [rng.normal(10.0, 1.5, n_blob), rng.uniform(-170, 170, n_bg)]
+        )
+        lat = np.concatenate(
+            [rng.normal(15.0, 1.0, n_blob), rng.uniform(-80, 80, n_bg)]
+        )
+        ts = [
+            base + pd.Timedelta(hours=hour, minutes=int(m))
+            for m in rng.integers(0, 59, n_blob + n_bg)
+        ]
+        return pd.DataFrame({"ts": ts, "lon": lon, "lat": lat})
+
+    w0, w1 = mk(0, 120, 300), mk(1, 40, 300)
+    sentinel = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=4)], "lon": [0.0], "lat": [0.0]}
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, pdf in enumerate((w0, w1, sentinel)):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema("ts timestamp, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "gi_out")
+    q = live.stream_hotspots(
+        stream, out, str(tmp_path / "ck"), res=4, window="1 hour",
+        watermark="30 minutes",
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    winds = {r["window_start"] for r in got}
+    # both real windows finalized; the sentinel's own window never closed
+    assert winds == {base.to_pydatetime(), (base + pd.Timedelta(hours=1)).to_pydatetime()}
+    for hour, pdf in ((0, w0), (1, w1)):
+        batch = {
+            r["cell_key"]: r
+            for r in autocorr.getis_ord_gi(spark.createDataFrame(pdf), res=4).collect()
+        }
+        ws = (base + pd.Timedelta(hours=hour)).to_pydatetime()
+        streamed = {r["cell_key"]: r for r in got if r["window_start"] == ws}
+        assert set(streamed) == set(batch)
+        for k, r in streamed.items():
+            b = batch[k]
+            assert (r["x"], r["k_i"], r["w_i"], r["gi_z_x1e6"]) == (
+                b["x"], b["k_i"], b["w_i"], b["gi_z_x1e6"],
+            )
+    # the dense blob cell is hot in window 0
+    cx = int((10.0 + 180.0) / 360.0 * 16)
+    cy = int((15.0 + 90.0) / 180.0 * 16)
+    blob = [
+        r for r in got
+        if r["window_start"] == base.to_pydatetime() and r["cell_key"] == ((cx << 4) | cy)
+    ]
+    assert blob and blob[0]["gi_z_x1e6"] > 2_000_000
