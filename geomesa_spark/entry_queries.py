@@ -1038,6 +1038,21 @@ def q_knox_test(spark, sf_dir):
     )
 
 
+def q_ehsa(spark, sf_dir):
+    """Full emerging-hot-spot analysis: per-day Gi* field over the dense
+    res-5 cube, Mann-Kendall over each cell's quantized z series, and
+    the category CASE — all three stages share their SQL expressions
+    with the DuckDB twin (autocorr.GI_STAR_SQL / MK_Z_SQL /
+    EHSA_CAT_SQL), so the end-to-end pipeline is bit-equal."""
+    from .operators import autocorr
+
+    return autocorr.emerging_hotspot_analysis(
+        _event_points(spark, sf_dir).select("lon", "lat", "ts"),
+        res=5,
+        min_total=10,
+    )
+
+
 def q_hotspot_clusters(spark, sf_dir):
     """DBSCAN-style hotspot clustering over the event grid (res 6,
     min_pts 5): dense cells merged through 8-neighbor adjacency via
@@ -1588,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_g": q_nn_g,
         "knox_test": q_knox_test,
         "emerging_hotspots": q_emerging_hotspots,
+        "ehsa": q_ehsa,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
         "resample_tracks": q_resample_tracks,
@@ -1938,6 +1954,8 @@ def _cell_sql(res: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from .operators.autocorr import (
+        EHSA_CAT_SQL as _EHSA_CAT_SQL,
+        GI_HOT_X1E6 as _GI_HOT,
         GI_STAR_SQL as _GI_STAR_SQL,
         LISA_I_SQL as _LISA_I_SQL,
         LISA_QUAD_SQL as _LISA_QUAD_SQL,
@@ -3224,6 +3242,75 @@ def oracle_sql() -> dict[str, str]:
                    {_LISA_Z_SQL} AS lisa_z_x1e6,
                    {_LISA_QUAD_SQL} AS quad
             FROM j, g
+        """,
+        "ehsa": f"""
+            WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+                         FROM events),
+            k AS (SELECT {_cell_sql(5)} AS cell_key,
+                         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                           AS day_bin
+                  FROM pts),
+            cd AS (SELECT cell_key, day_bin, COUNT(*) AS x
+                   FROM k GROUP BY cell_key, day_bin),
+            tot AS (SELECT cell_key, CAST(SUM(x) AS BIGINT) AS total FROM cd
+                    GROUP BY cell_key),
+            bins AS (SELECT DISTINCT day_bin FROM cd),
+            cube AS (
+              SELECT t.cell_key, b.day_bin, COALESCE(cd.x, 0) AS x
+              FROM tot t CROSS JOIN bins b
+              LEFT JOIN cd ON cd.cell_key = t.cell_key
+                          AND cd.day_bin = b.day_bin),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            nb AS (
+              SELECT c.cell_key,
+                     ((((c.cell_key >> 5) + o.dx) << 5)
+                      | ((c.cell_key & 31) + o.dy)) AS nbr
+              FROM tot c, offs o
+              WHERE (c.cell_key >> 5) + o.dx BETWEEN 0 AND 31
+                AND (c.cell_key & 31) + o.dy BETWEEN 0 AND 31),
+            hood AS (
+              SELECT n.cell_key, q.day_bin,
+                     CAST(SUM(q.x) AS BIGINT) AS w_i, COUNT(*) AS k_i
+              FROM nb n JOIN cube q ON q.cell_key = n.nbr
+              GROUP BY n.cell_key, q.day_bin),
+            g AS (SELECT day_bin, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                         CAST(SUM(x * x) AS BIGINT) AS s2
+                  FROM cube GROUP BY day_bin),
+            zt AS (
+              SELECT h.cell_key, h.day_bin, {_GI_STAR_SQL} AS z
+              FROM hood h JOIN g USING (day_bin)),
+            mk AS (
+              SELECT a.cell_key,
+                     CAST(SUM(CASE WHEN b.z > a.z THEN 1
+                                   WHEN b.z < a.z THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM zt a JOIN zt b ON a.cell_key = b.cell_key
+                                 AND b.day_bin > a.day_bin
+              GROUP BY a.cell_key),
+            tg AS (SELECT cell_key, z, COUNT(*) AS tg FROM zt
+                   GROUP BY cell_key, z),
+            ties_t AS (SELECT cell_key,
+                              CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                                AS ties,
+                              CAST(SUM(tg) AS BIGINT) AS t_bins
+                       FROM tg GROUP BY cell_key),
+            hotc AS (
+              SELECT cell_key,
+                     CAST(SUM(CASE WHEN z >= {_GI_HOT} THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hot,
+                     CAST(MAX(CASE WHEN day_bin = (SELECT MAX(day_bin) FROM bins)
+                                    AND z >= {_GI_HOT} THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hot_last
+              FROM zt GROUP BY cell_key)
+            SELECT mk.cell_key, tot.total, ties_t.t_bins, hotc.n_hot,
+                   mk.s_stat,
+                   CAST(ROUND(({_MK_Z_SQL}) * 1000000) AS BIGINT) AS mk_z_x1e6,
+                   {_EHSA_CAT_SQL} AS category
+            FROM mk JOIN ties_t USING (cell_key)
+                    JOIN hotc USING (cell_key)
+                    JOIN tot USING (cell_key)
+            WHERE tot.total >= 10
         """,
         "emerging_hotspots": f"""
             WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat

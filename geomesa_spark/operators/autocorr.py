@@ -36,6 +36,7 @@ __all__ = [
     "morans_i",
     "local_morans_i",
     "emerging_hotspots",
+    "emerging_hotspot_analysis",
 ]
 
 
@@ -87,11 +88,18 @@ def _with_xy(cells: DataFrame, res: int) -> DataFrame:
 #: binary weights over POPULATED neighbor cells).  Embedded verbatim in
 #: the DuckDB oracle; every identifier is a BIGINT column.
 GI_STAR_SQL = (
+    # zero-variance field (all cube cells equal, e.g. an all-zero time
+    # slice) or k_i = n (one neighborhood spans every cell) make the
+    # denominator 0 -> +/-Inf -> ANSI CAST error; both degenerate cases
+    # carry no spatial signal, so z = 0 there (both engines, same text)
+    "CASE WHEN (CAST(s2 AS DOUBLE) / n"
+    "           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) <= 0"
+    " OR n * k_i - k_i * k_i <= 0 THEN CAST(0 AS BIGINT) ELSE "
     "CAST(ROUND(((w_i - (CAST(s1 AS DOUBLE) / n) * k_i)"
     " / (sqrt(CAST(s2 AS DOUBLE) / n"
     "          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
     "    * sqrt(CAST(n * k_i - k_i * k_i AS DOUBLE) / (n - 1))))"
-    " * 1000000) AS BIGINT)"
+    " * 1000000) AS BIGINT) END"
 )
 
 #: Global Moran's I from exact-integer edge/cell aggregates:
@@ -332,6 +340,146 @@ def local_morans_i(
         F.expr(LISA_I_SQL).alias("lisa_i_x1e9"),
         F.expr(LISA_Z_SQL).alias("lisa_z_x1e6"),
         F.expr(LISA_QUAD_SQL).alias("quad"),
+    )
+
+
+#: hot threshold on the QUANTIZED z: z_x1e6 >= 1959964  <=>
+#: round(z*1e6) >= 1959964  (z above the two-sided alpha=0.05 critical
+#: value after quantization) — an exact integer compare in both engines.
+GI_HOT_X1E6 = 1959964
+
+#: EHSA category from exact integers (n_hot, hot_last, t_bins) + the MK
+#: z closed form over the per-cell Gi*-z series: the core categories of
+#: the ArcGIS emerging-hot-spot taxonomy expressible without the
+#: half-history split (new / intensifying / diminishing / persistent /
+#: sporadic / none).
+EHSA_CAT_SQL = (
+    "CASE WHEN n_hot = 0 THEN 'none' "
+    "WHEN hot_last = 1 AND n_hot = 1 THEN 'new' "
+    "WHEN ({z}) > 1.959963984540054 THEN 'intensifying' "
+    "WHEN ({z}) < -1.959963984540054 THEN 'diminishing' "
+    "WHEN n_hot * 10 >= t_bins * 9 THEN 'persistent' "
+    "ELSE 'sporadic' END"
+).format(z=MK_Z_SQL)
+
+
+def emerging_hotspot_analysis(
+    pts: DataFrame,
+    res: int = 5,
+    min_total: int = 20,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Full emerging-hot-spot analysis (the ArcGIS EHSA recipe): build
+    the dense space-time cube over ALL populated cells, score every
+    (cell, day) with Gi* against that day's field (binary 8-neighbor
+    weights over the cube's constant cell set), then Mann-Kendall-test
+    each cell's z SERIES and classify:
+
+    none (never hot) / new (hot only on the final day) / intensifying
+    (MK trend of z up at alpha=0.05) / diminishing (down) / persistent
+    (hot >=90% of days, no trend) / sporadic (the rest).  "Hot" is the
+    exact integer compare gi_z_x1e6 >= GI_HOT_X1E6.
+
+    Exactness chain: counts -> per-day Gi* z quantized to BIGINT micros
+    (shared GI_STAR_SQL) -> MK sign tally over those BIGINTs (exact) ->
+    MK z + category via shared SQL; bit-equal across engines end to end.
+    Engine shape: one (cell, day) count shuffle over points; the cube,
+    per-day Gi* joins, and the T^2 pair tally all run on
+    <=4^res x T-row tables.  Cells with total < ``min_total`` are scored
+    (they shape the field) but not returned.
+
+    Returns (cell_key, total, t_bins, n_hot, s_stat, mk_z_x1e6, category).
+    """
+    day = F.expr(
+        f"CAST(floor(unix_micros(CAST({ts} AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"
+    )
+    cd = swap_cache(
+        f"autocorr.cube.{res}",
+        pts.select(
+            _cell_key(lon, lat, res).alias("cell_key"), day.alias("day_bin")
+        )
+        .groupBy("cell_key", "day_bin")
+        .agg(F.count(F.lit(1)).alias("x")),
+    )
+    totals = cd.groupBy("cell_key").agg(F.sum("x").alias("total"))
+    bins = cd.select("day_bin").distinct()
+    cube = (
+        totals.select("cell_key")
+        .crossJoin(F.broadcast(bins))
+        .join(cd, ["cell_key", "day_bin"], "left")
+        .select(
+            "day_bin",
+            "cell_key",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    z = swap_cache(
+        f"autocorr.ehsa_z.{res}",
+        gi_from_cells(cube, res, by=("day_bin",)).select(
+            "day_bin", "cell_key", "gi_z_x1e6"
+        ),
+    )
+    a, b = [
+        z.select(
+            "cell_key",
+            F.col("day_bin").alias(f"b{i}"),
+            F.col("gi_z_x1e6").alias(f"z{i}"),
+        )
+        for i in (1, 2)
+    ]
+    mk = (
+        a.join(b, "cell_key")
+        .filter(F.col("b2") > F.col("b1"))
+        .groupBy("cell_key")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN z2 > z1 THEN 1 WHEN z2 < z1 THEN -1 ELSE 0 END")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        z.groupBy("cell_key", "gi_z_x1e6")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .groupBy("cell_key")
+        .agg(
+            F.sum(F.expr("tg * (tg - 1) * (2 * tg + 5)")).alias("ties"),
+            F.sum("tg").alias("t_bins"),
+        )
+    )
+    last_day = bins.agg(F.max("day_bin").alias("_last"))
+    hot = (
+        z.crossJoin(F.broadcast(last_day))
+        .groupBy("cell_key")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN gi_z_x1e6 >= {GI_HOT_X1E6} THEN 1 ELSE 0 END")
+            ).alias("n_hot"),
+            F.max(
+                F.expr(
+                    f"CASE WHEN day_bin = _last AND gi_z_x1e6 >= {GI_HOT_X1E6} "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("hot_last"),
+        )
+    )
+    return (
+        mk.join(ties, "cell_key")
+        .join(hot, "cell_key")
+        .join(totals, "cell_key")
+        .filter(F.col("total") >= int(min_total))
+        .select(
+            "cell_key",
+            "total",
+            "t_bins",
+            "n_hot",
+            "s_stat",
+            F.expr(f"CAST(ROUND(({MK_Z_SQL}) * 1000000) AS BIGINT)").alias(
+                "mk_z_x1e6"
+            ),
+            F.expr(EHSA_CAT_SQL).alias("category"),
+        )
     )
 
 

@@ -236,3 +236,106 @@ def test_autocorr_plan_shape(spark):
     plan = autocorr.getis_ord_gi(df, res=RES)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_emerging_hotspot_analysis_matches_numpy(spark):
+    """Full EHSA parity against an independent numpy reimplementation:
+    per-day Gi* over the dense cube, MK over the quantized z series,
+    category CASE — every output column compared for every cell."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    base = 1_700_000_000_000_000
+    day_us = 86_400_000_000
+    D = 14
+    rows = []
+    for d in range(D):
+        for _ in range(2 + 2 * d):          # growing -> intensifying
+            rows.append((5.0, 5.0, base + d * day_us + 1))
+        for _ in range(30):                  # steady hot -> persistent
+            rows.append((100.0, 40.0, base + d * day_us + 1))
+        for _ in range(rng.integers(1, 4)):  # scattered background
+            rows.append(
+                (float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)),
+                 base + d * day_us + 1)
+            )
+    for _ in range(45):                      # appears only on the last day
+        rows.append((-100.0, -40.0, base + (D - 1) * day_us + 1))
+    pdf = pd.DataFrame(rows, columns=["lon", "lat", "us"])
+    df = spark.createDataFrame(pdf).select(
+        "lon", "lat", F.expr("timestamp_micros(us)").alias("ts")
+    )
+    got = {
+        r["cell_key"]: r
+        for r in autocorr.emerging_hotspot_analysis(
+            df, res=RES, min_total=5
+        ).collect()
+    }
+
+    # ---- independent numpy EHSA ----
+    def cell(lo, la):
+        x = min(max(int(np.floor((lo + 180.0) / 360.0 * SIDE)), 0), SIDE - 1)
+        y = min(max(int(np.floor((la + 90.0) / 180.0 * SIDE)), 0), SIDE - 1)
+        return (x << RES) | y
+
+    cnt: dict = {}
+    for lo, la, us in rows:
+        k = (cell(lo, la), int((us - base) // day_us))
+        cnt[k] = cnt.get(k, 0) + 1
+    cells = sorted({c for c, _ in cnt})
+    days = sorted({d for _, d in cnt})
+    x = np.array([[cnt.get((c, d), 0) for d in days] for c in cells], dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    nbrs = [
+        [idx[k] for k in _neighbors(c, include_self=True) if k in idx] for c in cells
+    ]
+    n = len(cells)
+    zq = np.zeros((n, len(days)), dtype=np.int64)
+    for j in range(len(days)):
+        col = x[:, j]
+        mu, var = col.mean(), col.var()
+        for i, c in enumerate(cells):
+            k_i = len(nbrs[i])
+            if var <= 0 or n * k_i - k_i * k_i <= 0:
+                continue
+            w = col[nbrs[i]].sum()
+            zv = (w - mu * k_i) / (
+                np.sqrt(var) * np.sqrt((n * k_i - k_i * k_i) / (n - 1))
+            )
+            zq[i, j] = int(np.sign(zv) * np.floor(np.abs(zv) * 1e6 + 0.5))
+    HOT = autocorr.GI_HOT_X1E6
+    checked = 0
+    for i, c in enumerate(cells):
+        total = int(x[i].sum())
+        if total < 5:
+            assert c not in got
+            continue
+        series = zq[i]
+        s, z = _mk_np(series.tolist())
+        n_hot = int((series >= HOT).sum())
+        hot_last = series[-1] >= HOT
+        if n_hot == 0:
+            cat = "none"
+        elif hot_last and n_hot == 1:
+            cat = "new"
+        elif z > 1.959963984540054:
+            cat = "intensifying"
+        elif z < -1.959963984540054:
+            cat = "diminishing"
+        elif n_hot * 10 >= len(days) * 9:
+            cat = "persistent"
+        else:
+            cat = "sporadic"
+        r = got[c]
+        assert r["total"] == total and r["t_bins"] == len(days)
+        assert r["s_stat"] == s and r["n_hot"] == n_hot
+        assert r["mk_z_x1e6"] == pytest.approx(z * 1e6, abs=3)
+        assert r["category"] == cat
+        checked += 1
+    assert checked == len(got)
+    # the construction guarantees distinct trend categories appear: the
+    # growing blob intensifies, the last-day blob is new, and the steady
+    # blob DIMINISHES relative to the growing field (its z drifts down as
+    # the global mean rises — faithful field-relative EHSA behavior)
+    cats = {r["category"] for r in got.values()}
+    assert {"intensifying", "diminishing", "new"} <= cats
