@@ -1038,6 +1038,17 @@ def q_knox_test(spark, sf_dir):
     )
 
 
+def q_gi_spacetime(spark, sf_dir):
+    """Space-time Gi* over the dense res-5 (cell, day) cube: 3x3x3 bin
+    neighborhood (ArcGIS space-time-cube default), global moments over
+    the whole cube, z via the shared autocorr.GI_STAR_SQL."""
+    from .operators import autocorr
+
+    return autocorr.gi_spacetime(
+        _event_points(spark, sf_dir).select("lon", "lat", "ts"), res=5
+    )
+
+
 def q_ehsa(spark, sf_dir):
     """Full emerging-hot-spot analysis: per-day Gi* field over the dense
     res-5 cube, Mann-Kendall over each cell's quantized z series, and
@@ -1604,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_test": q_knox_test,
         "emerging_hotspots": q_emerging_hotspots,
         "ehsa": q_ehsa,
+        "gi_spacetime": q_gi_spacetime,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
         "resample_tracks": q_resample_tracks,
@@ -3242,6 +3254,44 @@ def oracle_sql() -> dict[str, str]:
                    {_LISA_Z_SQL} AS lisa_z_x1e6,
                    {_LISA_QUAD_SQL} AS quad
             FROM j, g
+        """,
+        "gi_spacetime": f"""
+            WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat
+                         FROM events),
+            k AS (SELECT {_cell_sql(5)} AS cell_key,
+                         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                           AS day_bin
+                  FROM pts),
+            cd AS (SELECT cell_key, day_bin, COUNT(*) AS x
+                   FROM k GROUP BY cell_key, day_bin),
+            tot AS (SELECT DISTINCT cell_key FROM cd),
+            bins AS (SELECT DISTINCT day_bin FROM cd),
+            cube AS (
+              SELECT t.cell_key, b.day_bin, COALESCE(cd.x, 0) AS x
+              FROM tot t CROSS JOIN bins b
+              LEFT JOIN cd ON cd.cell_key = t.cell_key
+                          AND cd.day_bin = b.day_bin),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            ring AS (
+              SELECT c.x AS _nx, c.day_bin + dt.d AS nbr_day,
+                     ((((c.cell_key >> 5) + o.dx) << 5)
+                      | ((c.cell_key & 31) + o.dy)) AS nbr_key
+              FROM cube c, offs o, (VALUES (-1),(0),(1)) AS dt(d)
+              WHERE (c.cell_key >> 5) + o.dx BETWEEN 0 AND 31
+                AND (c.cell_key & 31) + o.dy BETWEEN 0 AND 31),
+            hood AS (
+              SELECT r.nbr_key AS cell_key, r.nbr_day AS day_bin,
+                     CAST(SUM(r._nx) AS BIGINT) AS w_i, COUNT(*) AS k_i
+              FROM ring r JOIN cube q ON q.cell_key = r.nbr_key
+                                     AND q.day_bin = r.nbr_day
+              GROUP BY r.nbr_key, r.nbr_day),
+            g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+                         CAST(SUM(x * x) AS BIGINT) AS s2 FROM cube)
+            SELECT c.cell_key, c.day_bin, c.x, h.k_i, h.w_i,
+                   {_GI_STAR_SQL} AS gi_z_x1e6
+            FROM cube c JOIN hood h ON h.cell_key = c.cell_key
+                                   AND h.day_bin = c.day_bin, g
         """,
         "ehsa": f"""
             WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat

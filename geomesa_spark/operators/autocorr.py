@@ -37,6 +37,7 @@ __all__ = [
     "local_morans_i",
     "emerging_hotspots",
     "emerging_hotspot_analysis",
+    "gi_spacetime",
 ]
 
 
@@ -361,6 +362,96 @@ EHSA_CAT_SQL = (
     "WHEN n_hot * 10 >= t_bins * 9 THEN 'persistent' "
     "ELSE 'sporadic' END"
 ).format(z=MK_Z_SQL)
+
+
+def gi_spacetime(
+    pts: DataFrame,
+    res: int = 5,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Space-time Gi* over the dense (cell, day) cube — the 3x3x3
+    bin neighborhood (spatial 8-neighbors + self, x day-1/day/day+1,
+    truncated at the day range edges) that the ArcGIS space-time-cube
+    hot-spot tool uses by default; global moments over the WHOLE cube.
+
+    Engine shape: one (cell, day) count shuffle over points; the dense
+    cube is populated-cells x day-bins; the neighborhood sum is a
+    27-key explode + equi-join on (nbr_key, nbr_day) over cube-sized
+    tables; three global scalars broadcast back.  Same exactness
+    discipline: BIGINT sufficient statistics + the shared GI_STAR_SQL.
+
+    Returns (cell_key, day_bin, x, k_i, w_i, gi_z_x1e6).
+    """
+    day = F.expr(
+        f"CAST(floor(unix_micros(CAST({ts} AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"
+    )
+    cd = swap_cache(
+        f"autocorr.cube.{res}",
+        pts.select(
+            _cell_key(lon, lat, res).alias("cell_key"), day.alias("day_bin")
+        )
+        .groupBy("cell_key", "day_bin")
+        .agg(F.count(F.lit(1)).alias("x")),
+    )
+    bins = cd.select("day_bin").distinct()
+    cube = swap_cache(
+        f"autocorr.stcube.{res}",
+        cd.select("cell_key")
+        .distinct()
+        .crossJoin(F.broadcast(bins))
+        .join(cd, ["cell_key", "day_bin"], "left")
+        .select(
+            "cell_key", "day_bin", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        ),
+    )
+    ring = (
+        _with_xy(cube, res)
+        .select(
+            F.col("x").alias("_nx"),
+            F.col("day_bin"),
+            F.explode(F.expr(_neighbor_keys(res, include_self=True))).alias(
+                "nbr_key"
+            ),
+        )
+        .select(
+            "_nx",
+            "nbr_key",
+            F.explode(
+                F.expr("array(day_bin - 1, day_bin, day_bin + 1)")
+            ).alias("nbr_day"),
+        )
+    )
+    hood = (
+        ring.join(
+            cube.select(
+                F.col("cell_key").alias("nbr_key"), F.col("day_bin").alias("nbr_day")
+            ),
+            ["nbr_key", "nbr_day"],
+        )
+        .groupBy(
+            F.col("nbr_key").alias("cell_key"), F.col("nbr_day").alias("day_bin")
+        )
+        .agg(F.sum("_nx").alias("w_i"), F.count(F.lit(1)).alias("k_i"))
+    )
+    globals_ = cube.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+    )
+    return (
+        cube.join(hood, ["cell_key", "day_bin"])
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "cell_key",
+            "day_bin",
+            "x",
+            "k_i",
+            "w_i",
+            F.expr(GI_STAR_SQL).alias("gi_z_x1e6"),
+        )
+    )
 
 
 def emerging_hotspot_analysis(

@@ -339,3 +339,66 @@ def test_emerging_hotspot_analysis_matches_numpy(spark):
     # the global mean rises — faithful field-relative EHSA behavior)
     cats = {r["category"] for r in got.values()}
     assert {"intensifying", "diminishing", "new"} <= cats
+
+
+def test_gi_spacetime_matches_numpy(spark):
+    """Space-time Gi*: 3x3x3 bin neighborhood over the dense cube,
+    global moments over the whole cube — parity per bin vs numpy."""
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    base = 1_700_000_000_000_000
+    day_us = 86_400_000_000
+    D = 8
+    rows = []
+    for d in range(D):
+        for _ in range(5 + (3 if d == 4 else 0)):  # burst on day 4
+            rows.append((5.0, 5.0, base + d * day_us + 1))
+        for _ in range(rng.integers(1, 4)):
+            rows.append(
+                (float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)),
+                 base + d * day_us + 1)
+            )
+    pdf = pd.DataFrame(rows, columns=["lon", "lat", "us"])
+    df = spark.createDataFrame(pdf).select(
+        "lon", "lat", F.expr("timestamp_micros(us)").alias("ts")
+    )
+    got = {
+        (r["cell_key"], r["day_bin"]): r
+        for r in autocorr.gi_spacetime(df, res=RES).collect()
+    }
+
+    def cell(lo, la):
+        x = min(max(int(np.floor((lo + 180.0) / 360.0 * SIDE)), 0), SIDE - 1)
+        y = min(max(int(np.floor((la + 90.0) / 180.0 * SIDE)), 0), SIDE - 1)
+        return (x << RES) | y
+
+    cnt: dict = {}
+    for lo, la, us in rows:
+        k = (cell(lo, la), int(us // day_us))  # absolute epoch day
+        cnt[k] = cnt.get(k, 0) + 1
+    cells = sorted({c for c, _ in cnt})
+    days = sorted({d for _, d in cnt})
+    x = {(c, d): cnt.get((c, d), 0) for c in cells for d in days}
+    vals = np.array(list(x.values()), dtype=np.float64)
+    n, mu, sd = len(x), vals.mean(), vals.std()
+    assert set(got) == set(x)
+    for (c, d), xv in x.items():
+        nb = [
+            (k, d + dd)
+            for k in _neighbors(c, include_self=True)
+            for dd in (-1, 0, 1)
+            if (k, d + dd) in x
+        ]
+        w = float(sum(x[b] for b in nb))
+        k_i = float(len(nb))
+        z = (w - mu * k_i) / (sd * np.sqrt((n * k_i - k_i * k_i) / (n - 1)))
+        r = got[(c, d)]
+        assert r["x"] == xv and r["k_i"] == k_i and r["w_i"] == w
+        assert r["gi_z_x1e6"] == pytest.approx(z * 1e6, abs=2)
+    # the burst bin is the hottest bin of its cell's series
+    # the burst is smeared across its +/-1-day neighborhood, so the
+    # hottest bin of the cell's series lies within that window
+    bkey = cell(5.0, 5.0)
+    series = {d: got[(bkey, d)]["gi_z_x1e6"] for d in days}
+    assert max(series, key=series.get) in {days[3], days[4], days[5]}
