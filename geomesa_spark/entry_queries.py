@@ -1038,6 +1038,16 @@ def q_knox_test(spark, sf_dir):
     )
 
 
+def q_kde_grid(spark, sf_dir):
+    """Epanechnikov kernel-density surface at res 6, radius 2 (the
+    smoothed DensityScan heatmap): the discrete kernel weights are the
+    INTEGERS (r+1)^2 - dx^2 - dy^2, so kde_num is an exact BIGINT and
+    the density one shared closed-form division."""
+    from .operators import autocorr
+
+    return autocorr.kernel_density(_event_points(spark, sf_dir), res=6, radius=2)
+
+
 def q_gi_spacetime(spark, sf_dir):
     """Space-time Gi* over the dense res-5 (cell, day) cube: 3x3x3 bin
     neighborhood (ArcGIS space-time-cube default), global moments over
@@ -1616,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": q_emerging_hotspots,
         "ehsa": q_ehsa,
         "gi_spacetime": q_gi_spacetime,
+        "kde_grid": q_kde_grid,
         "geofence_transitions": q_geofence_transitions,
         "od_matrix": q_od_matrix,
         "resample_tracks": q_resample_tracks,
@@ -3254,6 +3265,27 @@ def oracle_sql() -> dict[str, str]:
                    {_LISA_Z_SQL} AS lisa_z_x1e6,
                    {_LISA_QUAD_SQL} AS quad
             FROM j, g
+        """,
+        "kde_grid": f"""
+            WITH {_pts_cte()},
+            k AS (SELECT {_cell_sql(6)} AS cell_key FROM pts),
+            cells AS (SELECT cell_key, COUNT(*) AS x FROM k GROUP BY cell_key),
+            offs(dx, dy) AS (VALUES {", ".join(f"({dx},{dy})" for dx in range(-2, 3) for dy in range(-2, 3))}),
+            contrib AS (
+              SELECT c.x AS sx, (9 - o.dx * o.dx - o.dy * o.dy) AS w,
+                     ((((c.cell_key >> 6) + o.dx) << 6)
+                      | ((c.cell_key & 63) + o.dy)) AS tkey
+              FROM cells c, offs o
+              WHERE (c.cell_key >> 6) + o.dx BETWEEN 0 AND 63
+                AND (c.cell_key & 63) + o.dy BETWEEN 0 AND 63
+                AND 9 - o.dx * o.dx - o.dy * o.dy > 0),
+            kde AS (SELECT tkey AS cell_key,
+                           CAST(SUM(sx * w) AS BIGINT) AS kde_num
+                    FROM contrib GROUP BY tkey)
+            SELECT kde.cell_key, COALESCE(c2.x, 0) AS x, kde.kde_num,
+                   CAST(ROUND((CAST(kde_num AS DOUBLE) / 9) * 1000000) AS BIGINT)
+                     AS kde_x1e6
+            FROM kde LEFT JOIN cells c2 USING (cell_key)
         """,
         "gi_spacetime": f"""
             WITH pts AS (SELECT ts, {LON_EXPR} AS lon, {LAT_EXPR} AS lat

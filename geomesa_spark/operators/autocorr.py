@@ -38,6 +38,7 @@ __all__ = [
     "emerging_hotspots",
     "emerging_hotspot_analysis",
     "gi_spacetime",
+    "kernel_density",
 ]
 
 
@@ -362,6 +363,71 @@ EHSA_CAT_SQL = (
     "WHEN n_hot * 10 >= t_bins * 9 THEN 'persistent' "
     "ELSE 'sporadic' END"
 ).format(z=MK_Z_SQL)
+
+
+def kernel_density(
+    pts: DataFrame,
+    res: int = 6,
+    radius: int = 2,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Smoothed kernel-density surface over the grid — the weighted
+    heatmap GeoMesa's DensityScan produces, with an Epanechnikov kernel
+    instead of the raw per-cell count.  Discretized at cell centers the
+    kernel weight is the INTEGER w(dx,dy) = (radius+1)^2 - dx^2 - dy^2
+    (> 0 inside the radius), so the numerator
+    kde_num = sum_nbr x_nbr * w  is an exact BIGINT and the density is
+    one closed-form division — no float kernel literals to drift across
+    engines.  Border cells truncate (no wrap), matching the module's
+    clamped-grid convention.
+
+    Engine shape: one combinable count shuffle over points, then a
+    (2*radius+1)^2-key explode + equi-join on the ≤4^res cell table —
+    the same bounded-neighborhood pattern as Gi*, with a wider ring.
+
+    Returns (cell_key, x, kde_num, kde_x1e6) for every cell with
+    non-zero smoothed density (i.e. within ``radius`` of a populated
+    cell).
+    """
+    r = int(radius)
+    norm = (r + 1) * (r + 1)
+    cells = swap_cache(f"autocorr.cells.{res}", _cell_counts(pts, res, lon, lat))
+    n_side = 1 << res
+    terms = []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            w = norm - dx * dx - dy * dy
+            if w <= 0:
+                continue
+            terms.append(
+                f"IF(_x + {dx} BETWEEN 0 AND {n_side - 1} "
+                f"AND _y + {dy} BETWEEN 0 AND {n_side - 1}, "
+                f"named_struct('k', shiftleft(_x + {dx}, {res}) | (_y + {dy}), "
+                f"'w', CAST({w} AS BIGINT)), NULL)"
+            )
+    ring_expr = "filter(array(" + ", ".join(terms) + "), t -> t IS NOT NULL)"
+    # every populated SOURCE cell scatters its weighted count onto the
+    # target cells inside the kernel support (scatter == gather for the
+    # symmetric kernel); targets carry their own raw count when populated
+    contrib = _with_xy(cells, res).select(
+        F.col("x").alias("_sx"),
+        F.explode(F.expr(ring_expr)).alias("_t"),
+    )
+    kde = contrib.groupBy(F.col("_t.k").alias("cell_key")).agg(
+        F.sum(F.expr("_sx * _t.w")).alias("kde_num")
+    )
+    return (
+        kde.join(cells, "cell_key", "left")
+        .select(
+            "cell_key",
+            F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"),
+            "kde_num",
+            F.expr(
+                f"CAST(ROUND((CAST(kde_num AS DOUBLE) / {norm}) * 1000000) AS BIGINT)"
+            ).alias("kde_x1e6"),
+        )
+    )
 
 
 def gi_spacetime(

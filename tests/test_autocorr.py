@@ -402,3 +402,44 @@ def test_gi_spacetime_matches_numpy(spark):
     bkey = cell(5.0, 5.0)
     series = {d: got[(bkey, d)]["gi_z_x1e6"] for d in days}
     assert max(series, key=series.get) in {days[3], days[4], days[5]}
+
+
+def test_kernel_density_matches_numpy_convolution(spark):
+    """kernel_density == the exact integer Epanechnikov convolution of
+    the count grid (scatter == gather for a symmetric kernel)."""
+    df, lon, lat = _pts(spark, n=2500, seed=31)
+    r = 2
+    norm = (r + 1) ** 2
+    got = {
+        row["cell_key"]: row
+        for row in autocorr.kernel_density(df, res=RES, radius=r).collect()
+    }
+    cells = _np_cells(lon, lat)
+    grid = np.zeros((SIDE, SIDE), dtype=np.int64)
+    for k, v in cells.items():
+        grid[k >> RES, k & (SIDE - 1)] = v
+    kde = np.zeros_like(grid)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            w = norm - dx * dx - dy * dy
+            if w <= 0:
+                continue
+            src = np.zeros_like(grid)
+            xs = slice(max(0, -dx), SIDE - max(0, dx))
+            ys = slice(max(0, -dy), SIDE - max(0, dy))
+            xt = slice(max(0, dx), SIDE - max(0, -dx))
+            yt = slice(max(0, dy), SIDE - max(0, -dy))
+            src[xt, yt] = grid[xs, ys] * w
+            kde += src
+    expect = {
+        (cx << RES) | cy: int(kde[cx, cy])
+        for cx in range(SIDE)
+        for cy in range(SIDE)
+        if kde[cx, cy] > 0
+    }
+    assert {k: v["kde_num"] for k, v in got.items()} == expect
+    for k, row in got.items():
+        assert row["x"] == cells.get(k, 0)
+        assert row["kde_x1e6"] == pytest.approx(expect[k] / norm * 1e6, abs=2)
+    # smoothing spreads density beyond the populated cells
+    assert len(got) > len(cells)
